@@ -1,0 +1,159 @@
+"""Renderer facade: pass orchestration, accumulation state, history swap.
+
+The TPU analogue of reference src/renderer/WebGPURenderer.ts: owns the
+device-side scene resources, the jitted render step (compute pass), the
+post-process step (present), the progressive accumulation buffer, and the TAA
+history carry. `build_pipeline(depth, spp)` mirrors the reference's
+pipeline-override recompile (RaytracePass.ts:26-32): depth/spp are static jit
+arguments, so changing them triggers recompilation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RenderConfig
+from ..models.native import NativeWorld
+from ..ops.postprocess import postprocess
+from ..ops.trace import accumulate, trace_pixels
+from ..utils.halton import JitterAccumulator, frame_jitter
+from .resources import DeviceScene, build_device_scene
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "max_depth"),
+    donate_argnames=("accum",),
+)
+def render_step(scene: DeviceScene, camera, frame_count, jitter, accum, *,
+                width: int, height: int, spp: int, max_depth: int):
+    """One progressive frame: trace + accumulate (WebGPURenderer.compute)."""
+    col = trace_pixels(scene, camera, frame_count, jitter, width, height, spp,
+                       max_depth)
+    return accumulate(accum, col, frame_count)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def present_step(accum, history, frame_count, average_jitter, *, width: int,
+                 height: int):
+    """Post-process + history swap (WebGPURenderer.present)."""
+    acc_img = accum.reshape(height, width, 4)
+    ldr, new_history = postprocess(acc_img, history, frame_count, average_jitter)
+    return ldr, new_history
+
+
+class Renderer:
+    """End-to-end progressive path tracer over a native World."""
+
+    def __init__(
+        self,
+        scene_name: str = "cornell",
+        obj_source: Optional[str] = None,
+        glb_data: Optional[bytes] = None,
+        config: Optional[RenderConfig] = None,
+    ):
+        if config is None:
+            config = RenderConfig(scene_name=scene_name)
+        elif scene_name != "cornell":
+            config.scene_name = scene_name
+        self.config = config
+        scene_name = self.config.scene_name
+        self.width = self.config.width
+        self.height = self.config.height
+        self.max_depth = self.config.max_depth
+        self.spp = self.config.shader_spp
+
+        self.world = NativeWorld(scene_name, obj_source, glb_data)
+        self.world.update_camera(self.width, self.height)
+        self.scene: DeviceScene = build_device_scene(self.world)
+        self.camera = jnp.asarray(self.world.camera())
+
+        self.frame_count = 0
+        self._jitter_acc = JitterAccumulator(self.width, self.height)
+        self._alloc_buffers()
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def _alloc_buffers(self):
+        R = self.width * self.height
+        self.accum = jnp.zeros((R, 4), jnp.float32)
+        self.history = jnp.zeros((self.height, self.width, 3), jnp.float32)
+
+    def build_pipeline(self, max_depth: int, spp: int):
+        """Static-parameter change -> new jit cache entry (recompile)."""
+        self.max_depth = int(max_depth)
+        self.spp = int(spp)
+        self.reset_accumulation()
+
+    def update_screen_size(self, width: int, height: int):
+        self.width = int(width)
+        self.height = int(height)
+        self.world.update_camera(self.width, self.height)
+        self.camera = jnp.asarray(self.world.camera())
+        self._jitter_acc = JitterAccumulator(self.width, self.height)
+        self.reset_accumulation()
+
+    def reset_accumulation(self):
+        self.frame_count = 0
+        self._jitter_acc = JitterAccumulator(self.width, self.height)
+        self._alloc_buffers()
+
+    # -- scene updates -----------------------------------------------------
+
+    def update_scene(self, time: float, reset: bool = True):
+        """Tick the native scene compiler and re-upload flat buffers."""
+        self.world.update(time)
+        self.scene = build_device_scene(self.world)
+        self.world.update_camera(self.width, self.height)
+        self.camera = jnp.asarray(self.world.camera())
+        if reset:
+            self.reset_accumulation()
+
+    # -- per-frame ---------------------------------------------------------
+
+    def render_frame(self):
+        """Trace one progressive frame into the accumulator."""
+        self.frame_count += 1
+        jitter, self._avg_jitter = self._jitter_acc.step(self.frame_count)
+        self.accum = render_step(
+            self.scene,
+            self.camera,
+            jnp.asarray(self.frame_count, jnp.int32),
+            jnp.asarray(jitter),
+            self.accum,
+            width=self.width,
+            height=self.height,
+            spp=self.spp,
+            max_depth=self.max_depth,
+        )
+        return self.accum
+
+    def present(self) -> np.ndarray:
+        """Run the post-process chain; returns (H, W, 3) uint8."""
+        ldr, self.history = present_step(
+            self.accum,
+            self.history,
+            jnp.asarray(self.frame_count, jnp.int32),
+            jnp.asarray(getattr(self, "_avg_jitter", np.zeros(2, np.float32))),
+            width=self.width,
+            height=self.height,
+        )
+        self._last_frame = np.asarray(ldr)
+        return self._last_frame
+
+    def capture_frame(self) -> np.ndarray:
+        """Last presented LDR image (WebGPUContext.captureFrame analogue)."""
+        if not hasattr(self, "_last_frame"):
+            return self.present()
+        return self._last_frame
+
+    def radiance(self) -> np.ndarray:
+        """Mean HDR radiance of the accumulator, (H, W, 3) float32."""
+        acc = np.asarray(self.accum).reshape(self.height, self.width, 4)
+        a = np.maximum(acc[..., 3:4], 1e-20)
+        return acc[..., 0:3] / a
