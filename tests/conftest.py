@@ -7,7 +7,9 @@ attached; the kernels are the same XLA programs either way.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU unconditionally: the host shell exports JAX_PLATFORMS=axon (the
+# real TPU), but tests must run on the virtual multi-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,82 @@
+"""Dense (world-triangle matmul) backend vs oracle and vs BVH backend."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from webgpu_raytracer_tpu.models.native import NativeWorld
+from webgpu_raytracer_tpu.ops.dense import dense_closest, dense_shadow
+from webgpu_raytracer_tpu.ops.dense_trace import trace_pixels_dense
+from webgpu_raytracer_tpu.ops.trace import trace_pixels
+from webgpu_raytracer_tpu.render.resources import build_device_scene
+from webgpu_raytracer_tpu.render.worldtris import build_world_tris
+
+from tests.oracle import intersect_brute
+
+
+@pytest.mark.parametrize("scene_name", ["cornell", "viewer", "mesh"])
+def test_dense_closest_matches_oracle(scene_name):
+    rng = np.random.default_rng(7)
+    world = NativeWorld(scene_name)
+    wt = build_world_tris(world)
+    n = 256
+    ro = rng.uniform(-3, 3, size=(n, 3)).astype(np.float32)
+    rd = rng.normal(size=(n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+
+    t, idx = dense_closest(wt, jnp.asarray(ro), jnp.asarray(rd))
+    t, idx = np.asarray(t), np.asarray(idx)
+    t_ref, tri_ref, inst_ref = intersect_brute(
+        world, ro.astype(np.float64), rd.astype(np.float64))
+
+    agree = (idx >= 0) == (inst_ref >= 0)
+    assert agree.mean() > 0.99
+    both = agree & (idx >= 0)
+    np.testing.assert_allclose(t[both], t_ref[both], rtol=2e-3, atol=2e-4)
+    wt_tri = np.asarray(wt.tri_idx)
+    assert (wt_tri[idx[both]] == tri_ref[both]).mean() > 0.9  # coplanar ties
+
+
+def test_dense_shadow_consistency():
+    rng = np.random.default_rng(11)
+    world = NativeWorld("cornell")
+    wt = build_world_tris(world)
+    n = 512
+    ro = rng.uniform(-0.9, 0.9, size=(n, 3)).astype(np.float32)
+    ro[:, 1] = np.abs(ro[:, 1]) + 0.05
+    rd = rng.normal(size=(n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+
+    t, idx = dense_closest(wt, jnp.asarray(ro), jnp.asarray(rd))
+    t, has = np.asarray(t), np.asarray(idx) >= 0
+    occ = np.asarray(dense_shadow(wt, jnp.asarray(ro), jnp.asarray(rd),
+                                  t_max=jnp.asarray(t + 1e-2)))
+    assert occ[has].all()
+    occ2 = np.asarray(dense_shadow(wt, jnp.asarray(ro), jnp.asarray(rd),
+                                   t_max=jnp.asarray(np.maximum(t * 0.5, 2e-3))))
+    assert not occ2[has].any()
+
+
+def test_dense_trace_matches_bvh_trace():
+    """Both backends consume identical RNG -> near-identical radiance."""
+    world = NativeWorld("cornell")
+    world.update_camera(32, 32)
+    scene = build_device_scene(world)
+    wt = build_world_tris(world)
+    cam = jnp.asarray(world.camera())
+    fc = jnp.asarray(1, jnp.int32)
+    j = jnp.zeros(2, jnp.float32)
+    a = np.asarray(trace_pixels(scene, cam, fc, j, 32, 32, 1, 5))
+    b = np.asarray(trace_pixels_dense(wt, scene.textures, cam, fc, j,
+                                      32, 32, 1, 5))
+    assert np.isclose(a, b, rtol=1e-3, atol=1e-3).mean() > 0.995
+    assert abs(a.mean() - b.mean()) < 1e-4
+
+
+def test_dense_lights_mapping():
+    world = NativeWorld("cornell")
+    wt = build_world_tris(world)
+    assert int(wt.light_count) == 2
+    lw = np.asarray(wt.light_wt)
+    mats = np.asarray(wt.mat)
+    assert (mats[lw] == 3).all()

@@ -1,0 +1,115 @@
+"""Dense rays x world-triangles intersection (XLA implementation).
+
+The TPU-first replacement for per-lane BVH pointer chasing on small/medium
+scenes: the Plucker-linear intersection test (render/worldtris.py) makes the
+whole sweep a (R, 16) @ (16, 5T) matmul plus elementwise combines and a
+min-reduction — MXU + VPU work with zero gathers. Chunked over triangles with
+lax.scan to bound memory. ops/pallas_dense.py provides the VMEM-blocked
+Pallas version of the same contract for the TPU hot path; this module is the
+reference implementation and the CPU/interpret fallback.
+
+Semantics match the reference's intersection (Raytracer.wgsl:443-453):
+same 1e-6 determinant epsilon (det = -n.d), boundary-inclusive barycentrics,
+strict (t_min, t_max) interval.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..render.worldtris import FEAT_K, WorldTris, ray_features
+
+TRI_CHUNK = 128
+T_MAX = 1e30
+
+
+def _chunks(wt: WorldTris):
+    twp = wt.v0.shape[0]
+    n_chunks = twp // TRI_CHUNK if twp % TRI_CHUNK == 0 else twp // TRI_CHUNK + 1
+    # features grouped [s0|s1|s2|tn|td], each group twp wide
+    feats = wt.features.reshape(FEAT_K, 5, twp)
+    return feats, twp, n_chunks
+
+
+def _chunk_result(rayf, feats, twp, k):
+    c0 = k * TRI_CHUNK
+    chunk = jax.lax.dynamic_slice(
+        feats, (0, 0, c0), (FEAT_K, 5, TRI_CHUNK)
+    ).reshape(FEAT_K, 5 * TRI_CHUNK)
+    res = jnp.dot(rayf, chunk, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    s0 = res[:, 0 * TRI_CHUNK : 1 * TRI_CHUNK]
+    s1 = res[:, 1 * TRI_CHUNK : 2 * TRI_CHUNK]
+    s2 = res[:, 2 * TRI_CHUNK : 3 * TRI_CHUNK]
+    tn = res[:, 3 * TRI_CHUNK : 4 * TRI_CHUNK]
+    td = res[:, 4 * TRI_CHUNK : 5 * TRI_CHUNK]
+    inside = (jnp.minimum(jnp.minimum(s0, s1), s2) >= 0.0) | (
+        jnp.maximum(jnp.maximum(s0, s1), s2) <= 0.0
+    )
+    ok = inside & (jnp.abs(td) >= 1e-6)
+    t = tn / jnp.where(ok, td, 1.0)
+    return t, ok
+
+
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def dense_closest(wt: WorldTris, ro, rd, t_min=1e-3, t_max=T_MAX, active=None):
+    """Closest hit. Returns (t, wt_idx) with wt_idx == -1 on miss."""
+    if _use_pallas():
+        from .pallas_dense import pallas_closest
+
+        return pallas_closest(wt, ro, rd, t_min=t_min, t_max=t_max,
+                              active=active)
+    R = ro.shape[0]
+    if active is None:
+        active = jnp.ones(R, bool)
+    rayf = ray_features(ro, rd)
+    feats, twp, n_chunks = _chunks(wt)
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+
+    def body(k, carry):
+        best_t, best_i = carry
+        t, ok = _chunk_result(rayf, feats, twp, k)
+        ok = ok & (t > t_min) & (t < t_max[:, None]) & active[:, None]
+        # mask padded tail of the last chunk
+        col = k * TRI_CHUNK + jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        ok = ok & (col < wt.valid_count)
+        tm = jnp.where(ok, t, jnp.float32(T_MAX))
+        carg = jnp.argmin(tm, axis=1)
+        cmin = jnp.take_along_axis(tm, carg[:, None], axis=1)[:, 0]
+        upd = cmin < best_t
+        best_t = jnp.where(upd, cmin, best_t)
+        best_i = jnp.where(upd, k * TRI_CHUNK + carg.astype(jnp.int32), best_i)
+        return best_t, best_i
+
+    best_t = t_max
+    best_i = jnp.full(R, -1, jnp.int32)
+    best_t, best_i = jax.lax.fori_loop(0, n_chunks, body, (best_t, best_i))
+    return best_t, best_i
+
+
+def dense_shadow(wt: WorldTris, ro, rd, t_max, t_min=1e-3, active=None):
+    """Any-hit occlusion. Returns bool (R,)."""
+    if _use_pallas():
+        from .pallas_dense import pallas_shadow
+
+        return pallas_shadow(wt, ro, rd, t_max=t_max, t_min=t_min,
+                             active=active)
+    R = ro.shape[0]
+    if active is None:
+        active = jnp.ones(R, bool)
+    rayf = ray_features(ro, rd)
+    feats, twp, n_chunks = _chunks(wt)
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+
+    def body(k, occ):
+        t, ok = _chunk_result(rayf, feats, twp, k)
+        ok = ok & (t > t_min) & (t < t_max[:, None]) & active[:, None]
+        col = k * TRI_CHUNK + jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        ok = ok & (col < wt.valid_count)
+        return occ | jnp.any(ok, axis=1)
+
+    return jax.lax.fori_loop(0, n_chunks, body, jnp.zeros(R, bool))

@@ -49,9 +49,14 @@ def _offset_eps(p):
 # ---------------------------------------------------------------------------
 
 
-def sample_texture(scene, tex_idx, uv):
+def sample_texture(textures, tex_idx, uv):
     """Sample the texture array; tex_idx < 0 returns white. uv repeat mode."""
-    K, TH, TW, _ = scene.textures.shape
+    K, TH, TW, _ = textures.shape
+    if K == 1 and TH == 1 and TW == 1:
+        # Placeholder-texture fast path (untextured scenes): statically
+        # shaped, no gathers.
+        texel = textures[0, 0, 0][None, :]
+        return jnp.where((tex_idx >= 0)[..., None], texel, 1.0)
     idx = jnp.clip(tex_idx, 0, K - 1)
     u = uv[..., 0] - jnp.floor(uv[..., 0])
     v = uv[..., 1] - jnp.floor(uv[..., 1])
@@ -62,7 +67,7 @@ def sample_texture(scene, tex_idx, uv):
     wx = fx - x0
     wy = fy - y0
 
-    flat = scene.textures.reshape(-1, scene.textures.shape[-1])
+    flat = textures.reshape(-1, textures.shape[-1])
 
     def fetch(xi, yi):
         xi = jnp.mod(xi, TW)
@@ -133,11 +138,11 @@ def load_hit(scene, ro, rd, tri_idx, inst_idx) -> HitData:
 
     albedo = scene.tri_base_color[tcl]
     base_tex = scene.tri_tex[tcl][:, 0]
-    albedo = albedo * sample_texture(scene, base_tex, tex_uv)
+    albedo = albedo * sample_texture(scene.textures, base_tex, tex_uv)
 
     # Tangent-space normal mapping using edge1 as tangent (wgsl:770-776).
     normal_tex = scene.tri_tex[tcl][:, 2]
-    n_map = sample_texture(scene, normal_tex, tex_uv) * 2.0 - 1.0
+    n_map = sample_texture(scene.textures, normal_tex, tex_uv) * 2.0 - 1.0
     t_axis = normalize(e1)
     b_axis = normalize(jnp.cross(ln, t_axis))
     ln_mapped = normalize(
@@ -216,7 +221,7 @@ def sample_light_source(scene, hit_p, r0, r1, r2) -> LightSample:
     tex_uv = uv0 * u[:, None] + uv1 * v[:, None] + uv2 * w[:, None]
     L = scene.tri_base_color[tcl]
     base_tex = scene.tri_tex[tcl][:, 0]
-    L = L * sample_texture(scene, base_tex, tex_uv)
+    L = L * sample_texture(scene.textures, base_tex, tex_uv)
 
     pdf = dist_sq / jnp.maximum(cos_theta_l * area, 1e-20) / lc_f
     valid = any_light & (cos_theta_l >= 1e-6) & (area > 0.0)
@@ -302,14 +307,14 @@ def ray_color(scene, ro, rd, rng, max_depth: int):
 
         metallic = mrir[:, 0]
         roughness = mrir[:, 1]
-        mr = sample_texture(scene, tex[:, 1], s.tex_uv)
+        mr = sample_texture(scene.textures, tex[:, 1], s.tex_uv)
         metallic = jnp.where(tex[:, 1] >= 0, metallic * mr[:, 2], metallic)
         roughness = jnp.where(tex[:, 1] >= 0, roughness * mr[:, 1], roughness)
         roughness = jnp.maximum(roughness, 0.005)
         ior = mrir[:, 2]
 
         emissive = emissive0 * jnp.where(
-            (tex[:, 3] >= 0)[:, None], sample_texture(scene, tex[:, 3], s.tex_uv), 1.0
+            (tex[:, 3] >= 0)[:, None], sample_texture(scene.textures, tex[:, 3], s.tex_uv), 1.0
         )
 
         f0 = 0.04 + (s.albedo - 0.04) * metallic[:, None]  # mix(0.04, albedo, m)

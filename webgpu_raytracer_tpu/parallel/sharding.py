@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from ..ops.trace import accumulate, trace_pixels
+from ..ops.api import get_tracer
+from ..ops.trace import accumulate
 
 AXIS = "shard"
 
@@ -35,7 +36,7 @@ def make_mesh(devices=None) -> Mesh:
 
 
 def tile_sharded_step(mesh: Mesh, width: int, height: int, spp: int,
-                      max_depth: int):
+                      max_depth: int, backend: str = "bvh"):
     """Returns a jitted step: pixel rows sharded over the mesh.
 
     accum is (H*W, 4) laid out row-major, sharded on rows; the scene and
@@ -45,10 +46,11 @@ def tile_sharded_step(mesh: Mesh, width: int, height: int, spp: int,
     n = mesh.devices.size
     assert height % n == 0, f"height {height} must divide over {n} devices"
     rows_per = height // n
+    tracer = get_tracer(backend)
 
     def shard_fn(scene, camera, frame_count, jitter, accum):
         dev = jax.lax.axis_index(AXIS)
-        col = trace_pixels(
+        col = tracer(
             scene, camera, frame_count, jitter, width, rows_per, spp,
             max_depth, row0=dev * rows_per, full_height=height,
         )
@@ -64,8 +66,48 @@ def tile_sharded_step(mesh: Mesh, width: int, height: int, spp: int,
     return jax.jit(fn, donate_argnums=(4,))
 
 
+def tile_sample_sharded_step(mesh: Mesh, width: int, height: int,
+                             spp_total: int, max_depth: int,
+                             tile_axis: str = "tile",
+                             sample_axis: str = "sample",
+                             backend: str = "bvh"):
+    """2D mesh: rows sharded over `tile_axis`, sample streams over
+    `sample_axis` with a psum over ICI — the full BASELINE config-5 layout.
+
+    accum is (H*W, 4) sharded on rows over tile_axis and replicated over
+    sample_axis.
+    """
+    nt = mesh.shape[tile_axis]
+    ns = mesh.shape[sample_axis]
+    assert height % nt == 0, f"height {height} must divide over {nt} tiles"
+    assert spp_total % ns == 0, f"spp {spp_total} must divide over {ns}"
+    rows_per = height // nt
+    spp_per = spp_total // ns
+    tracer = get_tracer(backend)
+
+    def shard_fn(scene, camera, frame_count, jitter, accum):
+        ti = jax.lax.axis_index(tile_axis)
+        si = jax.lax.axis_index(sample_axis)
+        col = tracer(
+            scene, camera, frame_count, jitter, width, rows_per, spp_per,
+            max_depth, row0=ti * rows_per, full_height=height,
+            total_spp=spp_total, sample0=si * spp_per,
+        )
+        col = jax.lax.psum(col * (spp_per / spp_total), sample_axis)
+        return accumulate(accum, col, frame_count)
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(tile_axis)),
+        out_specs=P(tile_axis),
+        check_rep=False,
+    )
+    return jax.jit(fn, donate_argnums=(4,))
+
+
 def sample_sharded_step(mesh: Mesh, width: int, height: int, spp_total: int,
-                        max_depth: int):
+                        max_depth: int, backend: str = "bvh"):
     """Returns a jitted step: sample streams sharded, psum over ICI.
 
     Every chip renders the full pixel grid with a disjoint slice of the
@@ -75,10 +117,11 @@ def sample_sharded_step(mesh: Mesh, width: int, height: int, spp_total: int,
     n = mesh.devices.size
     assert spp_total % n == 0, f"spp {spp_total} must divide over {n} devices"
     spp_per = spp_total // n
+    tracer = get_tracer(backend)
 
     def shard_fn(scene, camera, frame_count, jitter, accum):
         dev = jax.lax.axis_index(AXIS)
-        col = trace_pixels(
+        col = tracer(
             scene, camera, frame_count, jitter, width, height, spp_per,
             max_depth, total_spp=spp_total, sample0=dev * spp_per,
         )

@@ -19,22 +19,25 @@ import numpy as np
 
 from ..config import RenderConfig
 from ..models.native import NativeWorld
+from ..ops.api import choose_backend, get_tracer
 from ..ops.postprocess import postprocess
-from ..ops.trace import accumulate, trace_pixels
+from ..ops.trace import accumulate
 from ..utils.halton import JitterAccumulator, frame_jitter
 from .resources import DeviceScene, build_device_scene
+from .worldtris import build_world_tris
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "spp", "max_depth"),
+    static_argnames=("width", "height", "spp", "max_depth", "backend"),
     donate_argnames=("accum",),
 )
-def render_step(scene: DeviceScene, camera, frame_count, jitter, accum, *,
-                width: int, height: int, spp: int, max_depth: int):
+def render_step(scene, camera, frame_count, jitter, accum, *,
+                width: int, height: int, spp: int, max_depth: int,
+                backend: str = "bvh"):
     """One progressive frame: trace + accumulate (WebGPURenderer.compute)."""
-    col = trace_pixels(scene, camera, frame_count, jitter, width, height, spp,
-                       max_depth)
+    col = get_tracer(backend)(scene, camera, frame_count, jitter, width,
+                              height, spp, max_depth)
     return accumulate(accum, col, frame_count)
 
 
@@ -71,6 +74,9 @@ class Renderer:
         self.world = NativeWorld(scene_name, obj_source, glb_data)
         self.world.update_camera(self.width, self.height)
         self.scene: DeviceScene = build_device_scene(self.world)
+        n_world_tris = self._world_tri_count()
+        self.backend = choose_backend(n_world_tris)
+        self.wt = build_world_tris(self.world) if self.backend == "dense" else None
         self.camera = jnp.asarray(self.world.camera())
 
         self.frame_count = 0
@@ -78,6 +84,18 @@ class Renderer:
         self._alloc_buffers()
 
     # -- lifecycle ---------------------------------------------------------
+
+    def _world_tri_count(self) -> int:
+        import numpy as np
+        topo = np.asarray(self.world.topology()).reshape(-1, 20)
+        inst = np.asarray(self.world.instances()).reshape(-1, 36)
+        geoms = inst[:, 32:36].copy().view(np.uint32)[:, 2]
+        return int(sum((topo[:, 3] == g).sum() for g in geoms))
+
+    def _step_scene(self):
+        if self.backend == "dense":
+            return (self.wt, self.scene.textures)
+        return self.scene
 
     def _alloc_buffers(self):
         R = self.width * self.height
@@ -109,6 +127,8 @@ class Renderer:
         """Tick the native scene compiler and re-upload flat buffers."""
         self.world.update(time)
         self.scene = build_device_scene(self.world)
+        if self.backend == "dense":
+            self.wt = build_world_tris(self.world)
         self.world.update_camera(self.width, self.height)
         self.camera = jnp.asarray(self.world.camera())
         if reset:
@@ -121,7 +141,7 @@ class Renderer:
         self.frame_count += 1
         jitter, self._avg_jitter = self._jitter_acc.step(self.frame_count)
         self.accum = render_step(
-            self.scene,
+            self._step_scene(),
             self.camera,
             jnp.asarray(self.frame_count, jnp.int32),
             jnp.asarray(jitter),
@@ -130,6 +150,7 @@ class Renderer:
             height=self.height,
             spp=self.spp,
             max_depth=self.max_depth,
+            backend=self.backend,
         )
         return self.accum
 

@@ -1,0 +1,244 @@
+"""World-space triangle tables: the dense (MXU) intersection backend's data.
+
+TPU-first redesign of the hot path: instead of the reference's two-level
+TLAS/BLAS pointer chase (Raytracer.wgsl:455-528) — which on a vector machine
+degenerates into per-lane gathers — every instance's triangles are flattened
+into world space once per scene update, and intersection becomes a dense
+rays x triangles sweep expressed as matmuls on the MXU (ops/dense.py /
+ops/pallas_dense.py). Shading attributes are likewise baked per world
+triangle so the bounce loop fetches one row per hit instead of chasing
+topology -> vertices -> instance pointers.
+
+The ray/triangle test is the Plucker-coordinate form: for a ray (o, d) with
+moment m = o x d, the signed side of edge (a, b) is
+    s = d . (a x b) + m . (b - a)
+which is LINEAR in the 6-vector [d, m] — so the three edge tests of every
+triangle are one (R,6) @ (6, 3T) matmul. The hit distance comes from the
+plane equation: t = (n.v0 - n.o) / (n.d), linear in [d, o, 1]. A triangle is
+hit when all three s agree in sign (equivalent to Moller-Trumbore u,v tests;
+same 1e-6 determinant epsilon since a = -(n.d)).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+# Feature-vector layout (K = 16): [d(3), m(3), o(3), 1, pad(6)]
+FEAT_K = 16
+# Column groups per triangle: s0, s1, s2, t_num, t_den
+N_GROUPS = 5
+
+# shade_table column layout (SHADE_K = 40):
+SHADE_COLS = dict(
+    v0=(0, 3), e1=(3, 6), e2=(6, 9),
+    n0=(9, 12), n1=(12, 15), n2=(15, 18),
+    uv0=(18, 20), uv1=(20, 22), uv2=(22, 24),
+    base_color=(24, 27), mat=(27, 28), mrir=(28, 31),
+    tex=(31, 35), emissive=(35, 38), tri_idx=(38, 39), inst_idx=(39, 40),
+)
+SHADE_K = 40
+
+
+class WorldTris(NamedTuple):
+    """Per-world-triangle SoA (Tw = padded world triangle count)."""
+
+    # Intersection feature table, (FEAT_K, N_GROUPS * Tw): columns grouped as
+    # [all s0 | all s1 | all s2 | all t_num | all t_den].
+    features: jnp.ndarray
+
+    # Geometry (world space)
+    v0: jnp.ndarray   # (Tw, 3)
+    e1: jnp.ndarray   # (Tw, 3)
+    e2: jnp.ndarray   # (Tw, 3)
+    n0: jnp.ndarray   # (Tw, 3) world-space shading normals per corner
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    uv0: jnp.ndarray  # (Tw, 2)
+    uv1: jnp.ndarray
+    uv2: jnp.ndarray
+
+    # Materials (same contract as MeshTopology data0..data3, SURVEY.md §2.2)
+    base_color: jnp.ndarray  # (Tw, 3)
+    mat: jnp.ndarray         # (Tw,) i32
+    mrir: jnp.ndarray        # (Tw, 3) metallic, roughness, ior
+    tex: jnp.ndarray         # (Tw, 4) i32
+    emissive: jnp.ndarray    # (Tw, 3)
+
+    # Back-references into the flat-buffer contract
+    tri_idx: jnp.ndarray   # (Tw,) i32 topology index
+    inst_idx: jnp.ndarray  # (Tw,) i32 TLAS-sorted instance index
+
+    # Lights: world-tri ids of emissive triangles, (L,) i32 (+count)
+    light_wt: jnp.ndarray
+    light_count: jnp.ndarray
+
+    valid_count: jnp.ndarray  # () i32 — unpadded Tw
+
+    # Combined shading row table (Tw, SHADE_K) for single-matmul fetches;
+    # column layout in SHADE_COLS.
+    shade_table: jnp.ndarray
+
+
+def _round_up(n, m):
+    return max(m, ((n + m - 1) // m) * m)
+
+
+def build_world_tris(world, pad_to: int = 128) -> WorldTris:
+    """Flatten all instances' triangles to world space (numpy, per update)."""
+    topo = np.asarray(world.topology(), np.uint32).reshape(-1, 20)
+    tri_v = topo[:, 0:3].astype(np.int64)
+    tri_geom = topo[:, 3].astype(np.int64)
+    attrs = topo[:, 4:20].copy().view(np.float32)
+    pos = np.asarray(world.vertices(), np.float32).reshape(-1, 4)[:, :3]
+    nrm = np.asarray(world.normals(), np.float32).reshape(-1, 4)[:, :3]
+    uvs = np.asarray(world.uvs(), np.float32).reshape(-1, 2)
+
+    inst = np.asarray(world.instances(), np.float32).reshape(-1, 36)
+    n_inst = inst.shape[0]
+    tf = inst[:, 0:16].reshape(n_inst, 4, 4).transpose(0, 2, 1)
+    inv = inst[:, 16:32].reshape(n_inst, 4, 4).transpose(0, 2, 1)
+    inst_geom = inst[:, 32:36].copy().view(np.uint32)[:, 2].astype(np.int64)
+
+    lights = np.asarray(world.lights(), np.uint32).reshape(-1, 2).astype(np.int64)
+
+    chunks = []
+    light_wt = []
+    base = 0
+    for i in range(n_inst):
+        sel = np.nonzero(tri_geom == inst_geom[i])[0]
+        if sel.size == 0:
+            continue
+        rot = tf[i, :3, :3]
+        trn = tf[i, :3, 3]
+        # normals: inverse-transpose
+        nrm_m = inv[i, :3, :3].T
+
+        vi = tri_v[sel]
+        v0 = pos[vi[:, 0]] @ rot.T + trn
+        v1 = pos[vi[:, 1]] @ rot.T + trn
+        v2 = pos[vi[:, 2]] @ rot.T + trn
+        nn0 = pos_norm(nrm[vi[:, 0]] @ nrm_m.T)
+        nn1 = pos_norm(nrm[vi[:, 1]] @ nrm_m.T)
+        nn2 = pos_norm(nrm[vi[:, 2]] @ nrm_m.T)
+
+        chunks.append((sel, v0, v1, v2, nn0, nn1, nn2,
+                       uvs[vi[:, 0]], uvs[vi[:, 1]], uvs[vi[:, 2]]))
+
+        # map this instance's light triangles to world-tri rows
+        mine = lights[lights[:, 0] == i]
+        if mine.size:
+            # topology index -> position within sel
+            lut = {int(t): k for k, t in enumerate(sel)}
+            for _, t in mine:
+                light_wt.append(base + lut[int(t)])
+        base += sel.size
+
+        chunks[-1] = chunks[-1] + (np.full(sel.size, i, np.int64),)
+
+    if not chunks:
+        # empty scene: one degenerate tri
+        sel = np.zeros(1, np.int64)
+        z3 = np.zeros((1, 3), np.float32)
+        z2 = np.zeros((1, 2), np.float32)
+        chunks = [(sel, z3, z3, z3, z3, z3, z3, z2, z2, z2,
+                   np.zeros(1, np.int64))]
+
+    sel_all = np.concatenate([c[0] for c in chunks])
+    v0 = np.concatenate([c[1] for c in chunks])
+    v1 = np.concatenate([c[2] for c in chunks])
+    v2 = np.concatenate([c[3] for c in chunks])
+    n0 = np.concatenate([c[4] for c in chunks])
+    n1 = np.concatenate([c[5] for c in chunks])
+    n2 = np.concatenate([c[6] for c in chunks])
+    uv0 = np.concatenate([c[7] for c in chunks])
+    uv1 = np.concatenate([c[8] for c in chunks])
+    uv2 = np.concatenate([c[9] for c in chunks])
+    wt_inst = np.concatenate([c[10] for c in chunks])
+
+    tw = v0.shape[0]
+    tw_pad = _round_up(tw, pad_to)
+    pad = tw_pad - tw
+
+    def padf(a, fill=0.0):
+        if pad == 0:
+            return a
+        shape = (pad,) + a.shape[1:]
+        return np.concatenate([a, np.full(shape, fill, a.dtype)])
+
+    v0, v1, v2 = padf(v0), padf(v1), padf(v2)
+    n0, n1, n2 = padf(n0), padf(n1), padf(n2)
+    uv0, uv1, uv2 = padf(uv0), padf(uv1), padf(uv2)
+    sel_all = padf(sel_all)
+    wt_inst = padf(wt_inst)
+
+    a = attrs[np.clip(sel_all, 0, attrs.shape[0] - 1)]
+    if pad:
+        a[tw:] = 0.0
+
+    e1 = v1 - v0
+    e2 = v2 - v0
+
+    # --- Plucker feature table ---
+    # s_e for edge (a,b): d.(a x b) + m.(b-a)
+    def edge_cols(pa, pb):
+        c = np.zeros((FEAT_K, tw_pad), np.float32)
+        c[0:3] = np.cross(pa, pb).T          # dotted with d
+        c[3:6] = (pb - pa).T                 # dotted with m
+        return c
+
+    n = np.cross(e1, e2)
+    col_s0 = edge_cols(v0, v1)
+    col_s1 = edge_cols(v1, v2)
+    col_s2 = edge_cols(v2, v0)
+    col_tn = np.zeros((FEAT_K, tw_pad), np.float32)
+    col_tn[6:9] = -n.T                        # -n.o
+    col_tn[9] = np.einsum("tj,tj->t", n, v0)  # + n.v0
+    col_td = np.zeros((FEAT_K, tw_pad), np.float32)
+    col_td[0:3] = n.T                         # n.d
+
+    features = np.concatenate([col_s0, col_s1, col_s2, col_tn, col_td], axis=1)
+
+    lw = np.asarray(light_wt, np.int64) if light_wt else np.zeros(1, np.int64)
+
+    mat_f = a[:, 3:4]
+    shade = np.concatenate(
+        [v0, e1, e2, n0, n1, n2, uv0, uv1, uv2,
+         a[:, 0:3], mat_f, a[:, 4:7], a[:, 8:12], a[:, 12:15],
+         sel_all[:, None].astype(np.float32), wt_inst[:, None].astype(np.float32)],
+        axis=1,
+    ).astype(np.float32)
+    assert shade.shape[1] == SHADE_K
+
+    return WorldTris(
+        features=jnp.asarray(features),
+        v0=jnp.asarray(v0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
+        n0=jnp.asarray(n0), n1=jnp.asarray(n1), n2=jnp.asarray(n2),
+        uv0=jnp.asarray(uv0), uv1=jnp.asarray(uv1), uv2=jnp.asarray(uv2),
+        base_color=jnp.asarray(a[:, 0:3]),
+        mat=jnp.asarray(a[:, 3] + 0.5, jnp.int32),
+        mrir=jnp.asarray(a[:, 4:7]),
+        tex=jnp.asarray(a[:, 8:12], jnp.int32),
+        emissive=jnp.asarray(a[:, 12:15]),
+        tri_idx=jnp.asarray(sel_all, jnp.int32),
+        inst_idx=jnp.asarray(wt_inst, jnp.int32),
+        light_wt=jnp.asarray(lw, jnp.int32),
+        light_count=jnp.asarray(len(light_wt), jnp.int32),
+        valid_count=jnp.asarray(tw, jnp.int32),
+        shade_table=jnp.asarray(shade),
+    )
+
+
+def pos_norm(v):
+    l = np.linalg.norm(v, axis=-1, keepdims=True)
+    return np.where(l > 0, v / np.maximum(l, 1e-20), v)
+
+
+def ray_features(ro, rd):
+    """Build the (R, FEAT_K) feature vectors [d, o x d, o, 1, pad]."""
+    m = jnp.cross(ro, rd)
+    ones = jnp.ones_like(ro[:, :1])
+    pad = jnp.zeros((ro.shape[0], FEAT_K - 10), ro.dtype)
+    return jnp.concatenate([rd, m, ro, ones, pad], axis=-1)
