@@ -1,0 +1,159 @@
+"""Programmatic GLB fixtures for loader tests (no external assets)."""
+
+import json
+import struct
+
+import numpy as np
+
+
+def _pad4(b: bytes, pad: bytes = b"\x00") -> bytes:
+    return b + pad * ((4 - len(b) % 4) % 4)
+
+
+def build_glb(doc: dict, bin_data: bytes) -> bytes:
+    js = _pad4(json.dumps(doc).encode(), b" ")
+    bin_data = _pad4(bin_data)
+    total = 12 + 8 + len(js) + 8 + len(bin_data)
+    out = struct.pack("<III", 0x46546C67, 2, total)
+    out += struct.pack("<II", len(js), 0x4E4F534A) + js
+    out += struct.pack("<II", len(bin_data), 0x004E4942) + bin_data
+    return out
+
+
+def simple_quad_glb(animated: bool = True) -> bytes:
+    """A red unit quad + (optionally) a rotation animation on its node."""
+    positions = np.array(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32)
+    normals = np.tile(np.array([[0, 0, 1]], np.float32), (4, 1))
+    uvs = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    indices = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+    times = np.array([0.0, 1.0], np.float32)
+    # 180-degree Y rotation over 1s
+    rots = np.array([[0, 0, 0, 1], [0, 1, 0, 0]], np.float32)
+
+    blobs = [positions.tobytes(), normals.tobytes(), uvs.tobytes(),
+             indices.tobytes(), times.tobytes(), rots.tobytes()]
+    offsets = []
+    off = 0
+    for b in blobs:
+        offsets.append(off)
+        off += len(b) + ((4 - len(b) % 4) % 4)
+    bin_data = b"".join(b + b"\x00" * ((4 - len(b) % 4) % 4) for b in blobs)
+
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"name": "quad", "mesh": 0,
+                   "translation": [0.0, 1.0, 0.0]}],
+        "buffers": [{"byteLength": len(bin_data)}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": offsets[0], "byteLength": 48},
+            {"buffer": 0, "byteOffset": offsets[1], "byteLength": 48},
+            {"buffer": 0, "byteOffset": offsets[2], "byteLength": 32},
+            {"buffer": 0, "byteOffset": offsets[3], "byteLength": 12},
+            {"buffer": 0, "byteOffset": offsets[4], "byteLength": 8},
+            {"buffer": 0, "byteOffset": offsets[5], "byteLength": 32},
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5126, "count": 4, "type": "VEC3"},
+            {"bufferView": 2, "componentType": 5126, "count": 4, "type": "VEC2"},
+            {"bufferView": 3, "componentType": 5123, "count": 6, "type": "SCALAR"},
+            {"bufferView": 4, "componentType": 5126, "count": 2, "type": "SCALAR"},
+            {"bufferView": 5, "componentType": 5126, "count": 2, "type": "VEC4"},
+        ],
+        "materials": [{
+            "pbrMetallicRoughness": {
+                "baseColorFactor": [0.8, 0.1, 0.1, 1.0],
+                "metallicFactor": 0.0,
+                "roughnessFactor": 0.9,
+            },
+        }],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2},
+            "indices": 3,
+            "material": 0,
+        }]}],
+    }
+    if animated:
+        doc["animations"] = [{
+            "name": "spin",
+            "channels": [{"sampler": 0,
+                          "target": {"node": 0, "path": "rotation"}}],
+            "samplers": [{"input": 4, "output": 5,
+                          "interpolation": "LINEAR"}],
+        }]
+    return build_glb(doc, bin_data)
+
+
+def skinned_strip_glb() -> bytes:
+    """A 2-bone skinned vertical strip: bottom bound to joint0 (root),
+    top bound to joint1 which the animation rotates."""
+    # 4 verts: two at y=0 (joint 0), two at y=1 (joint 1)
+    positions = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32)
+    joints = np.array(
+        [[0, 0, 0, 0], [0, 0, 0, 0], [1, 0, 0, 0], [1, 0, 0, 0]], np.uint16)
+    weights = np.array(
+        [[1, 0, 0, 0], [1, 0, 0, 0], [1, 0, 0, 0], [1, 0, 0, 0]], np.float32)
+    indices = np.array([0, 1, 3, 0, 3, 2], np.uint16)
+    # inverse bind: joint0 identity; joint1 translate(0,-1,0) (joint at y=1)
+    ibm = np.stack([np.eye(4, dtype=np.float32),
+                    np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0],
+                              [0, -1, 0, 1]], np.float32)])  # column-major
+    times = np.array([0.0, 1.0], np.float32)
+    trans = np.array([[0, 1, 0], [1, 1, 0]], np.float32)  # joint1 moves +x
+
+    blobs = [positions.tobytes(), joints.tobytes(), weights.tobytes(),
+             indices.tobytes(), ibm.tobytes(), times.tobytes(),
+             trans.tobytes()]
+    offsets = []
+    off = 0
+    for b in blobs:
+        offsets.append(off)
+        off += len(b) + ((4 - len(b) % 4) % 4)
+    bin_data = b"".join(b + b"\x00" * ((4 - len(b) % 4) % 4) for b in blobs)
+
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0, 1]}],
+        "nodes": [
+            {"name": "root_joint", "children": [2]},
+            {"name": "mesh_node", "mesh": 0, "skin": 0},
+            {"name": "tip_joint", "translation": [0, 1, 0]},
+        ],
+        "buffers": [{"byteLength": len(bin_data)}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": offsets[0], "byteLength": 48},
+            {"buffer": 0, "byteOffset": offsets[1], "byteLength": 32},
+            {"buffer": 0, "byteOffset": offsets[2], "byteLength": 64},
+            {"buffer": 0, "byteOffset": offsets[3], "byteLength": 12},
+            {"buffer": 0, "byteOffset": offsets[4], "byteLength": 128},
+            {"buffer": 0, "byteOffset": offsets[5], "byteLength": 8},
+            {"buffer": 0, "byteOffset": offsets[6], "byteLength": 24},
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5123, "count": 4, "type": "VEC4"},
+            {"bufferView": 2, "componentType": 5126, "count": 4, "type": "VEC4"},
+            {"bufferView": 3, "componentType": 5123, "count": 6, "type": "SCALAR"},
+            {"bufferView": 4, "componentType": 5126, "count": 2, "type": "MAT4"},
+            {"bufferView": 5, "componentType": 5126, "count": 2, "type": "SCALAR"},
+            {"bufferView": 6, "componentType": 5126, "count": 2, "type": "VEC3"},
+        ],
+        "skins": [{"joints": [0, 2], "inverseBindMatrices": 4}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "JOINTS_0": 1, "WEIGHTS_0": 2},
+            "indices": 3,
+        }]}],
+        "animations": [{
+            "name": "sway",
+            "channels": [{"sampler": 0,
+                          "target": {"node": 2, "path": "translation"}}],
+            "samplers": [{"input": 5, "output": 6,
+                          "interpolation": "LINEAR"}],
+        }],
+    }
+    return build_glb(doc, bin_data)

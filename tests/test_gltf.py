@@ -1,0 +1,96 @@
+"""GLB loader tests against programmatic fixtures (tests/glb_fixture.py).
+
+Covers the loader.rs capability set: mesh primitives w/ materials, node
+transforms baked into static instances, animations (keyframe sampling +
+node TRS updates feeding per-frame rebuilds), and LBS skinning.
+"""
+
+import numpy as np
+import pytest
+
+from webgpu_raytracer_tpu.models.native import NativeWorld
+
+from tests.glb_fixture import simple_quad_glb, skinned_strip_glb
+
+
+def world_tris_of(world, geom_idx):
+    topo = np.asarray(world.topology(), np.uint32).reshape(-1, 20)
+    return topo[topo[:, 3] == geom_idx]
+
+
+def test_glb_quad_loads():
+    w = NativeWorld("viewer", glb_data=simple_quad_glb())
+    # viewer env (geom 0) + glb quad geometry appended
+    topo = np.asarray(w.topology(), np.uint32).reshape(-1, 20)
+    geoms = set(topo[:, 3].tolist())
+    assert len(geoms) >= 2
+    quad = world_tris_of(w, max(geoms))
+    assert quad.shape[0] == 2  # two triangles
+    attrs = quad[:, 4:20].copy().view(np.float32)
+    np.testing.assert_allclose(attrs[0, 0:3], [0.8, 0.1, 0.1], atol=1e-6)
+    assert attrs[0, 3] == 0.0  # LAMBERTIAN (metallic == 0)
+    np.testing.assert_allclose(attrs[0, 5], 0.9, atol=1e-6)  # roughness
+
+
+def test_glb_instance_transform_applied():
+    """Static node translation (0,1,0) is baked into the instance, then the
+    demo model transform (0.7 scale + 180deg Y) is applied by update()."""
+    w = NativeWorld("viewer", glb_data=simple_quad_glb(animated=False))
+    inst = np.asarray(w.instances(), np.float32).reshape(-1, 36)
+    assert inst.shape[0] == 2  # env + quad (empty viewer model slot skipped)
+    # the non-env instance gets the demo transform (lib.rs:196-204 parity)
+    geoms = inst[:, 32:36].copy().view(np.uint32)[:, 2]
+    model = inst[geoms == geoms.max()][0]
+    tf = model[0:16].reshape(4, 4).T
+    np.testing.assert_allclose(np.diag(tf)[:3], [-0.7, 0.7, -0.7], atol=1e-5)
+
+
+def test_glb_animation_playback():
+    w = NativeWorld("viewer", glb_data=simple_quad_glb())
+    assert w.animation_count() == 1
+    assert w.animation_name(0) == "spin"
+
+    v0 = np.asarray(w.vertices(), np.float32).reshape(-1, 4)[:, :3].copy()
+    w.update(0.5)  # halfway: 90-degree rotation of the node
+    v1 = np.asarray(w.vertices(), np.float32).reshape(-1, 4)[:, :3].copy()
+    # NOTE: the quad node has no skin, so its vertices are static in the
+    # geometry (instance transform handles placement); animation changes
+    # node TRS which matters for skinned paths. Verify update is stable.
+    np.testing.assert_allclose(v0, v1, atol=1e-6)
+
+
+def test_glb_skinning_deforms():
+    w = NativeWorld("viewer", glb_data=skinned_strip_glb())
+    topo = np.asarray(w.topology(), np.uint32).reshape(-1, 20)
+    geoms = sorted(set(topo[:, 3].tolist()))
+    strip_geom = geoms[-1]
+
+    def strip_verts():
+        tris = world_tris_of(w, strip_geom)
+        vids = sorted(set(tris[:, 0:3].reshape(-1).tolist()))
+        pos = np.asarray(w.vertices(), np.float32).reshape(-1, 4)[:, :3]
+        return pos[vids]
+
+    v_t0 = strip_verts().copy()
+    # top verts at y=1 bound to joint1 at rest position (0,1,0)
+    assert v_t0[:, 1].max() == pytest.approx(1.0, abs=1e-5)
+
+    # t=0.5: halfway -> joint1 at (0.5,1,0); t=1.0 would wrap to 0 (the
+    # reference loops clips by duration, lib.rs:166-170)
+    w.update(0.5)
+    v_t1 = strip_verts().copy()
+    moved = v_t1 - v_t0
+    top = v_t0[:, 1] > 0.5
+    np.testing.assert_allclose(moved[top, 0], 0.5, atol=1e-4)
+    np.testing.assert_allclose(moved[~top, 0], 0.0, atol=1e-4)
+
+
+def test_glb_garbage_is_tolerated():
+    """Parse failures are swallowed (reference lib.rs:57-66 `let _ =`);
+    the scene still builds with the preset environment."""
+    w1 = NativeWorld("viewer", glb_data=b"not a glb file at all")
+    assert w1.topology().size > 0
+    import struct
+    junk = struct.pack("<III", 0x46546C67, 2, 12)  # valid magic, truncated
+    w2 = NativeWorld("viewer", glb_data=junk)
+    assert w2.topology().size > 0

@@ -1,12 +1,16 @@
 """Path tracing over the dense world-triangle backend (the TPU hot path).
 
 Same estimator and semantic contract as ops/trace.py (which documents the
-mapping to reference Raytracer.wgsl) but with the entire pointer-chasing
-layer removed: intersection is the Plucker matmul sweep (ops/dense.py /
-ops/pallas_dense.py) and every shading fetch is a one-hot matmul row fetch
-from the per-world-triangle shade table (ops/fetch.py). No instance
-transforms in the loop: triangles, normals and lights are pre-baked to world
-space per scene update (render/worldtris.py).
+mapping to reference Raytracer.wgsl) but restructured for the TPU's 8x128
+vector unit:
+- intersection = the Plucker matmul sweep (ops/pallas_dense.py transposed
+  kernels; ops/dense.py XLA fallback on CPU)
+- every per-ray quantity is component-SoA: separate (R,) arrays per vector
+  component (ops/v3.py), so all elementwise work runs at full lane width
+- shade-table rows arrive transposed (SHADE_K, R); field extraction is a
+  major-dim slice, never a relayout
+- no instance transforms in the loop: triangles/normals/lights pre-baked to
+  world space per scene update (render/worldtris.py)
 
 RNG consumption is identical to the BVH path (6 draws per bounce), so both
 backends produce statistically identical images for the same (pixel, frame).
@@ -19,136 +23,198 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from . import bsdf
-from .bsdf import PI, normalize, power_heuristic
+from . import bsdf_v3 as bsdf
+from .bsdf_v3 import PI, Scatter, power_heuristic
 from .dense import T_MAX, dense_closest, dense_shadow
-from .fetch import gather_rows
 from .rng import init_rng, rand_n, rand_pcg
-from .trace import _offset_eps, camera_unpack, sample_texture
+from .v3 import V3, cross, dot, length, max_component, normalize, splat, where
 from ..render.worldtris import SHADE_COLS, WorldTris
 
-
-def _dot(a, b):
-    return jnp.sum(a * b, axis=-1)
+_SENT = 1e30
 
 
-def _col(row, name):
-    lo, hi = SHADE_COLS[name]
-    return row[:, lo:hi]
+def _row_v3(rowT, name) -> V3:
+    lo, _ = SHADE_COLS[name]
+    return V3(rowT[lo], rowT[lo + 1], rowT[lo + 2])
+
+
+def _row_f(rowT, name, k=0):
+    lo, _ = SHADE_COLS[name]
+    return rowT[lo + k]
+
+
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def sample_texture_v3(textures, tex_idx, u, v) -> V3:
+    """Component-SoA texture sample; tex_idx < 0 returns white."""
+    K, TH, TW, _ = textures.shape
+    has = tex_idx >= 0
+    if K == 1 and TH == 1 and TW == 1:
+        texel = textures[0, 0, 0]
+        one = jnp.ones_like(u)
+        return V3(jnp.where(has, texel[0], 1.0) * one,
+                  jnp.where(has, texel[1], 1.0) * one,
+                  jnp.where(has, texel[2], 1.0) * one)
+    # General path: bilinear repeat-mode gathers (texture-heavy scenes).
+    idx = jnp.clip(tex_idx, 0, K - 1)
+    uu = u - jnp.floor(u)
+    vv = v - jnp.floor(v)
+    fx = uu * TW - 0.5
+    fy = vv * TH - 0.5
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    wx = fx - x0
+    wy = fy - y0
+    flat = textures.reshape(-1, textures.shape[-1])
+
+    def fetch(xi, yi):
+        xi = jnp.mod(xi, TW)
+        yi = jnp.mod(yi, TH)
+        t = flat[(idx * TH + yi) * TW + xi]
+        return V3(t[:, 0], t[:, 1], t[:, 2])
+
+    c00 = fetch(x0, y0)
+    c10 = fetch(x0 + 1, y0)
+    c01 = fetch(x0, y0 + 1)
+    c11 = fetch(x0 + 1, y0 + 1)
+    top = c00 * (1 - wx) + c10 * wx
+    bot = c01 * (1 - wx) + c11 * wx
+    rgb = top * (1 - wy) + bot * wy
+    one = jnp.ones_like(u)
+    return where(has, rgb, V3(one, one, one))
 
 
 class DenseHit(NamedTuple):
-    row: jnp.ndarray     # (R, SHADE_K) shade-table rows of the hit tris
-    wt: jnp.ndarray      # (R,) world-tri index (-1 = miss)
-    hit_t: jnp.ndarray   # (R,)
-    tex_uv: jnp.ndarray  # (R, 2)
-    normal: jnp.ndarray  # (R, 3) shading normal (normal-mapped)
-    geom_n: jnp.ndarray  # (R, 3)
-    albedo: jnp.ndarray  # (R, 3)
+    rowT: jnp.ndarray  # (SHADE_K, R) shade rows of the hit tris
+    wt: jnp.ndarray    # (R,) world-tri index (-1 = miss)
+    hit_t: jnp.ndarray
+    tex_u: jnp.ndarray
+    tex_v: jnp.ndarray
+    normal: V3         # shading normal (normal-mapped, world)
+    geom_n: V3
+    albedo: V3
 
 
-def shade_from_row(textures, row, ro, rd, hit_t):
+def shade_from_rowT(textures, rowT, ro: V3, rd: V3):
     """Barycentric attributes for a known world triangle (world space).
 
     Same math as the reference's hit reconstruction (Raytracer.wgsl:738-779)
     minus the object-space round trip: barycentrics are affine-invariant so
     world-space Moller-Trumbore gives identical weights.
     """
-    v0 = _col(row, "v0")
-    e1 = _col(row, "e1")
-    e2 = _col(row, "e2")
+    v0 = _row_v3(rowT, "v0")
+    e1 = _row_v3(rowT, "e1")
+    e2 = _row_v3(rowT, "e2")
 
     s = ro - v0
-    h = jnp.cross(rd, e2)
-    a = _dot(e1, h)
+    h = cross(rd, e2)
+    a = dot(e1, h)
     f = 1.0 / jnp.where(jnp.abs(a) > 1e-20, a, 1e-20)
-    u = f * _dot(s, h)
-    q = jnp.cross(s, e1)
-    v = f * _dot(rd, q)
+    u = f * dot(s, h)
+    q = cross(s, e1)
+    v = f * dot(rd, q)
     w = 1.0 - u - v
 
-    uv0 = _col(row, "uv0")
-    uv1 = _col(row, "uv1")
-    uv2 = _col(row, "uv2")
-    tex_uv = uv0 * w[:, None] + uv1 * u[:, None] + uv2 * v[:, None]
+    lo_uv0 = SHADE_COLS["uv0"][0]
+    tex_u = rowT[lo_uv0] * w + rowT[SHADE_COLS["uv1"][0]] * u + rowT[SHADE_COLS["uv2"][0]] * v
+    tex_v = rowT[lo_uv0 + 1] * w + rowT[SHADE_COLS["uv1"][0] + 1] * u + rowT[SHADE_COLS["uv2"][0] + 1] * v
 
-    ln = normalize(
-        _col(row, "n0") * w[:, None]
-        + _col(row, "n1") * u[:, None]
-        + _col(row, "n2") * v[:, None]
-    )
+    ln = normalize(_row_v3(rowT, "n0") * w + _row_v3(rowT, "n1") * u
+                   + _row_v3(rowT, "n2") * v)
 
-    tex = _col(row, "tex")
-    albedo = _col(row, "base_color") * sample_texture(
-        textures, tex[:, 0].astype(jnp.int32), tex_uv
-    )
+    base_tex = _row_f(rowT, "tex", 0).astype(jnp.int32)
+    albedo = _row_v3(rowT, "base_color") * sample_texture_v3(
+        textures, base_tex, tex_u, tex_v)
 
-    # Normal mapping with edge1 tangent (wgsl:770-776); world-space already.
-    normal_tex = tex[:, 2].astype(jnp.int32)
-    n_map = sample_texture(textures, normal_tex, tex_uv) * 2.0 - 1.0
+    # Tangent-space normal mapping with edge1 tangent (wgsl:770-776).
+    normal_tex = _row_f(rowT, "tex", 2).astype(jnp.int32)
+    n_map = sample_texture_v3(textures, normal_tex, tex_u, tex_v) * 2.0 - 1.0
     t_axis = normalize(e1)
-    b_axis = normalize(jnp.cross(ln, t_axis))
-    ln_mapped = normalize(
-        t_axis * n_map[:, 0:1] + b_axis * n_map[:, 1:2] + ln * n_map[:, 2:3]
-    )
-    normal = jnp.where((normal_tex >= 0)[:, None], ln_mapped, ln)
+    b_axis = normalize(cross(ln, t_axis))
+    ln_mapped = normalize(t_axis * n_map.x + b_axis * n_map.y + ln * n_map.z)
+    normal = where(normal_tex >= 0, ln_mapped, ln)
 
-    geom_n = normalize(jnp.cross(e1, e2))
-    return tex_uv, normal, geom_n, albedo
+    geom_n = normalize(cross(e1, e2))
+    return tex_u, tex_v, normal, geom_n, albedo
 
 
-def intersect_and_shade(wt: WorldTris, textures, ro, rd, active) -> DenseHit:
-    if jax.default_backend() == "tpu":
+def intersect_and_shade(wt: WorldTris, textures, ro: V3, rd: V3,
+                        active) -> DenseHit:
+    if _use_pallas():
         from .pallas_dense import pallas_closest_with_row
 
-        t, idx, row = pallas_closest_with_row(wt, ro, rd, active=active)
+        t, idx, rowT = pallas_closest_with_row(
+            wt, (ro.x, ro.y, ro.z), (rd.x, rd.y, rd.z), active=active)
     else:
-        t, idx = dense_closest(wt, ro, rd, active=active)
-        row = gather_rows(wt.shade_table, jnp.maximum(idx, 0))
-    tex_uv, normal, geom_n, albedo = shade_from_row(textures, row, ro, rd, t)
-    return DenseHit(row, idx, t, tex_uv, normal, geom_n, albedo)
+        from .v3 import to_rows
+
+        t, idx = dense_closest(wt, to_rows(ro), to_rows(rd), active=active)
+        rowT = wt.shade_table[jnp.clip(idx, 0, wt.shade_table.shape[0] - 1)].T
+        rowT = jnp.where((idx >= 0)[None, :], rowT, 0.0)
+    tex_u, tex_v, normal, geom_n, albedo = shade_from_rowT(textures, rowT, ro, rd)
+    return DenseHit(rowT, idx, t, tex_u, tex_v, normal, geom_n, albedo)
 
 
-def sample_light_dense(wt: WorldTris, textures, hit_p, r0, r1, r2):
+def shadow_query(wt: WorldTris, ro: V3, rd: V3, t_max, active):
+    if _use_pallas():
+        from .pallas_dense import pallas_shadow
+
+        return pallas_shadow(wt, (ro.x, ro.y, ro.z), (rd.x, rd.y, rd.z),
+                             t_max=t_max, active=active)
+    from .v3 import to_rows
+
+    return dense_shadow(wt, to_rows(ro), to_rows(rd), t_max=t_max,
+                        active=active)
+
+
+def _fetch_rowT(table, idx):
+    if _use_pallas():
+        from .pallas_dense import pallas_fetch_t
+
+        return pallas_fetch_t(table, idx)
+    return table[jnp.clip(idx, 0, table.shape[0] - 1)].T
+
+
+def sample_light_dense(wt: WorldTris, textures, hit_p: V3, r0, r1, r2):
     """NEE light sample over world-tri lights (wgsl:345-399 semantics)."""
     lc = wt.light_count
     lc_f = jnp.maximum(lc.astype(jnp.float32), 1.0)
     pick = jnp.clip((r0 * lc_f).astype(jnp.int32), 0, jnp.maximum(lc - 1, 0))
-    # light_wt is tiny; fetch ids then rows via one matmul fetch
-    wt_ids = gather_rows(
-        wt.light_wt[:, None].astype(jnp.float32), pick
-    )[:, 0].astype(jnp.int32)
-    row = gather_rows(wt.shade_table, wt_ids)
+    wt_ids = _fetch_rowT(
+        wt.light_wt[:, None].astype(jnp.float32), pick)[0].astype(jnp.int32)
+    rowT = _fetch_rowT(wt.shade_table, wt_ids)
 
-    v0 = _col(row, "v0")
-    e1 = _col(row, "e1")
-    e2 = _col(row, "e2")
+    v0 = _row_v3(rowT, "v0")
+    e1 = _row_v3(rowT, "e1")
+    e2 = _row_v3(rowT, "e2")
 
     sqrt_r1 = jnp.sqrt(r1)
     u = 1.0 - sqrt_r1
     v = r2 * sqrt_r1
     w = 1.0 - u - v
     # p = v0*u + v1*v + v2*w with v1 = v0+e1, v2 = v0+e2
-    p = v0 + e1 * v[:, None] + e2 * w[:, None]
+    p = v0 + e1 * v + e2 * w
 
-    cr = jnp.cross(e1, e2)
+    cr = cross(e1, e2)
     n_raw = normalize(cr)
-    area = jnp.linalg.norm(cr, axis=-1) * 0.5
+    area = length(cr) * 0.5
 
     l_dir = p - hit_p
-    dist_sq = _dot(l_dir, l_dir)
+    dist_sq = dot(l_dir, l_dir)
     dist = jnp.sqrt(dist_sq)
-    unit_l = l_dir / jnp.maximum(dist, 1e-20)[:, None]
-    cos_theta_l = jnp.maximum(_dot(n_raw, -unit_l), 0.0)
+    unit_l = l_dir * (1.0 / jnp.maximum(dist, 1e-20))
+    cos_theta_l = jnp.maximum(dot(n_raw, -unit_l), 0.0)
 
-    uv0 = _col(row, "uv0")
-    uv1 = _col(row, "uv1")
-    uv2 = _col(row, "uv2")
-    tex_uv = uv0 * u[:, None] + uv1 * v[:, None] + uv2 * w[:, None]
-    tex = _col(row, "tex")
-    L = _col(row, "base_color") * sample_texture(
-        textures, tex[:, 0].astype(jnp.int32), tex_uv
-    )
+    lo0 = SHADE_COLS["uv0"][0]
+    lo1 = SHADE_COLS["uv1"][0]
+    lo2 = SHADE_COLS["uv2"][0]
+    tex_u = rowT[lo0] * u + rowT[lo1] * v + rowT[lo2] * w
+    tex_v = rowT[lo0 + 1] * u + rowT[lo1 + 1] * v + rowT[lo2 + 1] * w
+    base_tex = _row_f(rowT, "tex", 0).astype(jnp.int32)
+    L = _row_v3(rowT, "base_color") * sample_texture_v3(
+        textures, base_tex, tex_u, tex_v)
 
     pdf = dist_sq / jnp.maximum(cos_theta_l * area, 1e-20) / lc_f
     valid = (lc > 0) & (cos_theta_l >= 1e-6) & (area > 0.0)
@@ -156,31 +222,39 @@ def sample_light_dense(wt: WorldTris, textures, hit_p, r0, r1, r2):
     return L, unit_l, dist, pdf
 
 
-def light_pdf_from_row(wt: WorldTris, row, t, l_dir):
+def light_pdf_from_rowT(wt: WorldTris, rowT, t, l_dir: V3):
     """MIS pdf of the emissive triangle just hit (wgsl:401-421)."""
-    cr = jnp.cross(_col(row, "e1"), _col(row, "e2"))
-    area = jnp.linalg.norm(cr, axis=-1) * 0.5
+    cr = cross(_row_v3(rowT, "e1"), _row_v3(rowT, "e2"))
+    area = length(cr) * 0.5
     n = normalize(cr)
-    cos_theta_l = jnp.maximum(_dot(n, -l_dir), 0.0)
+    cos_theta_l = jnp.maximum(dot(n, -l_dir), 0.0)
     lc_f = jnp.maximum(wt.light_count.astype(jnp.float32), 1.0)
     pdf = (t * t) / jnp.maximum(cos_theta_l * area, 1e-20) / lc_f
     return jnp.where(cos_theta_l >= 1e-4, pdf, 0.0)
 
 
-def ray_color_dense(wt: WorldTris, textures, ro, rd, rng, max_depth: int):
-    R = ro.shape[0]
-    f32 = jnp.float32
+def _offset_eps(p: V3):
+    """Scale-adaptive ray-origin offset; see ops/trace._offset_eps."""
+    m = jnp.maximum(jnp.abs(p.x), jnp.maximum(jnp.abs(p.y), jnp.abs(p.z)))
+    return 1e-4 * jnp.maximum(1.0, m)
 
-    hit0 = intersect_and_shade(wt, textures, ro, rd,
-                               jnp.ones(R, bool))
+
+def ray_color_dense(wt: WorldTris, textures, ro: V3, rd: V3, rng,
+                    max_depth: int):
+    R = ro.x.shape[0]
+    f32 = jnp.float32
+    zeros = jnp.zeros(R, f32)
+    ones = jnp.ones(R, f32)
+
+    hit0 = intersect_and_shade(wt, textures, ro, rd, jnp.ones(R, bool))
     active0 = hit0.wt >= 0
 
     class _S(NamedTuple):
         active: jnp.ndarray
-        ro: jnp.ndarray
-        rd: jnp.ndarray
-        throughput: jnp.ndarray
-        radiance: jnp.ndarray
+        ro: V3
+        rd: V3
+        throughput: V3
+        radiance: V3
         rng: jnp.ndarray
         prev_pdf: jnp.ndarray
         specular_bounce: jnp.ndarray
@@ -190,137 +264,130 @@ def ray_color_dense(wt: WorldTris, textures, ro, rd, rng, max_depth: int):
         active=active0,
         ro=ro,
         rd=rd,
-        throughput=jnp.ones((R, 3), f32),
-        radiance=jnp.zeros((R, 3), f32),
+        throughput=V3(ones, ones, ones),
+        radiance=V3(zeros, zeros, zeros),
         rng=rng,
-        prev_pdf=jnp.zeros(R, f32),
+        prev_pdf=zeros,
         specular_bounce=jnp.ones(R, bool),
         hit=hit0,
     )
 
     def body(depth, s: _S):
-        row = s.hit.row
-        mat = _col(row, "mat")[:, 0].astype(jnp.int32)
-        mrir = _col(row, "mrir")
-        tex = _col(row, "tex").astype(jnp.int32)
-        emissive0 = _col(row, "emissive")
+        rowT = s.hit.rowT
+        mat = _row_f(rowT, "mat").astype(jnp.int32)
+        tex_mr = _row_f(rowT, "tex", 1).astype(jnp.int32)
+        tex_em = _row_f(rowT, "tex", 3).astype(jnp.int32)
 
-        hit_p = s.ro + s.rd * s.hit.hit_t[:, None]
+        hit_p = s.ro + s.rd * s.hit.hit_t
 
-        normal = jnp.where((_dot(s.rd, s.hit.normal) < 0.0)[:, None],
-                           s.hit.normal, -s.hit.normal)
-        geom_n = jnp.where((_dot(s.rd, s.hit.geom_n) < 0.0)[:, None],
-                           s.hit.geom_n, -s.hit.geom_n)
+        # Face normals against the incoming ray (wgsl:660-661).
+        normal = where(dot(s.rd, s.hit.normal) < 0.0, s.hit.normal,
+                       -s.hit.normal)
+        geom_n = where(dot(s.rd, s.hit.geom_n) < 0.0, s.hit.geom_n,
+                       -s.hit.geom_n)
 
-        metallic = mrir[:, 0]
-        roughness = mrir[:, 1]
-        mr = sample_texture(textures, tex[:, 1], s.hit.tex_uv)
-        metallic = jnp.where(tex[:, 1] >= 0, metallic * mr[:, 2], metallic)
-        roughness = jnp.where(tex[:, 1] >= 0, roughness * mr[:, 1], roughness)
+        metallic = _row_f(rowT, "mrir", 0)
+        roughness = _row_f(rowT, "mrir", 1)
+        mr = sample_texture_v3(textures, tex_mr, s.hit.tex_u, s.hit.tex_v)
+        metallic = jnp.where(tex_mr >= 0, metallic * mr.z, metallic)
+        roughness = jnp.where(tex_mr >= 0, roughness * mr.y, roughness)
         roughness = jnp.maximum(roughness, 0.005)
-        ior = mrir[:, 2]
+        ior = _row_f(rowT, "mrir", 2)
 
-        emissive = emissive0 * jnp.where(
-            (tex[:, 3] >= 0)[:, None],
-            sample_texture(textures, tex[:, 3], s.hit.tex_uv), 1.0)
+        emissive = _row_v3(rowT, "emissive") * where(
+            tex_em >= 0,
+            sample_texture_v3(textures, tex_em, s.hit.tex_u, s.hit.tex_v),
+            V3(ones, ones, ones))
 
         albedo = s.hit.albedo
-        f0 = 0.04 + (albedo - 0.04) * metallic[:, None]
+        f0 = albedo * metallic + (0.04 * (1.0 - metallic))  # mix(0.04, a, m)
 
-        # --- Emissive / light hit with MIS ---
+        # --- Emissive / light hit with MIS (wgsl:677-682) ---
         is_light = mat == 3
-        has_em = is_light | (jnp.linalg.norm(emissive, axis=-1) > 1e-4)
-        em_val = jnp.where(is_light[:, None], albedo, emissive)
-        lp = light_pdf_from_row(wt, row, s.hit.hit_t, s.rd)
+        has_em = is_light | (length(emissive) > 1e-4)
+        em_val = where(is_light, albedo, emissive)
+        lp = light_pdf_from_rowT(wt, rowT, s.hit.hit_t, s.rd)
         mis_w = jnp.where(s.specular_bounce, 1.0,
                           power_heuristic(s.prev_pdf, lp))
-        radiance = s.radiance + jnp.where(
-            (s.active & has_em)[:, None],
-            s.throughput * em_val * mis_w[:, None], 0.0)
+        add = jnp.where(s.active & has_em, mis_w, 0.0)
+        radiance = s.radiance + s.throughput * em_val * add
         active = s.active & ~is_light
 
-        # --- NEE ---
+        # --- NEE (wgsl:684-698) ---
         rng, (r0, r1, r2) = rand_n(s.rng, 3)
         L, ldir, ldist, lpdf = sample_light_dense(wt, textures, hit_p,
                                                   r0, r1, r2)
         nee_lane = active & (mat != 2) & (lpdf > 0.0)
         eps = _offset_eps(hit_p)
-        end_eps = jnp.maximum(eps, _offset_eps(hit_p + ldir * ldist[:, None]))
-        occluded = dense_shadow(
-            wt, hit_p + geom_n * eps[:, None], ldir,
-            t_max=ldist - 2.0 * end_eps, active=nee_lane)
-        n_dot_l = jnp.maximum(_dot(normal, ldir), 0.0)
-        bsdf_val = jnp.where(
-            (mat == 0)[:, None], bsdf.eval_diffuse(albedo),
-            bsdf.eval_ggx(normal, -s.rd, ldir, roughness, f0))
-        bsdf_pdf = jnp.where(mat == 0, n_dot_l / PI,
+        end_eps = jnp.maximum(eps, _offset_eps(hit_p + ldir * ldist))
+        occluded = shadow_query(wt, hit_p + geom_n * eps, ldir,
+                                t_max=ldist - 2.0 * end_eps, active=nee_lane)
+        n_dot_l = jnp.maximum(dot(normal, ldir), 0.0)
+        is_diff = mat == 0
+        bsdf_val = where(is_diff, bsdf.eval_diffuse(albedo),
+                         bsdf.eval_ggx(normal, -s.rd, ldir, roughness, f0))
+        bsdf_pdf = jnp.where(is_diff, n_dot_l / PI,
                              bsdf.ggx_pdf(normal, -s.rd, ldir, roughness))
-        contrib = (s.throughput * bsdf_val * L
-                   * (power_heuristic(lpdf, bsdf_pdf) * n_dot_l /
-                      jnp.maximum(lpdf, 1e-20))[:, None])
         take = nee_lane & ~occluded & (bsdf_pdf > 0.0)
-        radiance = radiance + jnp.where(take[:, None], contrib, 0.0)
+        wgt = jnp.where(
+            take,
+            power_heuristic(lpdf, bsdf_pdf) * n_dot_l /
+            jnp.maximum(lpdf, 1e-20), 0.0)
+        radiance = radiance + s.throughput * bsdf_val * L * wgt
 
-        # --- BSDF sampling ---
+        # --- BSDF sampling (wgsl:700-707) ---
         rng, (s1, s2) = rand_n(rng, 2)
         sc_d = bsdf.sample_diffuse(normal, albedo, s1, s2)
         sc_m = bsdf.sample_ggx(normal, -s.rd, roughness, f0, s1, s2)
         sc_g = bsdf.sample_dielectric(s.rd, normal, ior, albedo, s1)
 
-        is_m = (mat == 1)[:, None]
-        is_g = (mat == 2)[:, None]
-        dirn = jnp.where(is_g, sc_g.dir, jnp.where(is_m, sc_m.dir, sc_d.dir))
-        pdf = jnp.where(is_g[:, 0], sc_g.pdf,
-                        jnp.where(is_m[:, 0], sc_m.pdf, sc_d.pdf))
-        tp = jnp.where(is_g, sc_g.throughput,
-                       jnp.where(is_m, sc_m.throughput, sc_d.throughput))
-        is_spec = jnp.where(is_g[:, 0], sc_g.is_specular,
-                            jnp.where(is_m[:, 0], sc_m.is_specular,
+        is_m = mat == 1
+        is_g = mat == 2
+        dirn = where(is_g, sc_g.dir, where(is_m, sc_m.dir, sc_d.dir))
+        pdf = jnp.where(is_g, sc_g.pdf, jnp.where(is_m, sc_m.pdf, sc_d.pdf))
+        tp = where(is_g, sc_g.throughput,
+                   where(is_m, sc_m.throughput, sc_d.throughput))
+        is_spec = jnp.where(is_g, sc_g.is_specular,
+                            jnp.where(is_m, sc_m.is_specular,
                                       sc_d.is_specular))
 
-        bad = (mat != 2) & (_dot(dirn, geom_n) <= 0.0)
+        # Geometric-normal guard for non-dielectrics (wgsl:709-712).
+        bad = (mat != 2) & (dot(dirn, geom_n) <= 0.0)
         pdf = jnp.where(bad, 0.0, pdf)
-        tp = jnp.where(bad[:, None], 0.0, tp)
+        tp = tp * jnp.where(bad, 0.0, 1.0)
 
-        active = active & (pdf > 0.0) & (jnp.linalg.norm(tp, axis=-1) > 0.0)
-        throughput = jnp.where(active[:, None], s.throughput * tp,
-                               s.throughput)
+        active = active & (pdf > 0.0) & (length(tp) > 0.0)
+        throughput = where(active, s.throughput * tp, s.throughput)
 
-        off_n = jnp.where((_dot(dirn, geom_n) > 0.0)[:, None], geom_n, -geom_n)
-        ro_next = jnp.where(active[:, None], hit_p + off_n * eps[:, None], s.ro)
-        rd_next = jnp.where(active[:, None], dirn, s.rd)
+        off_n = where(dot(dirn, geom_n) > 0.0, geom_n, -geom_n)
+        ro_next = where(active, hit_p + off_n * eps, s.ro)
+        rd_next = where(active, dirn, s.rd)
         prev_pdf = jnp.where(active, pdf, s.prev_pdf)
         specular_bounce = jnp.where(active, is_spec, s.specular_bounce)
 
-        # --- Russian roulette ---
+        # --- Russian roulette after depth 3 (wgsl:724-728) ---
         rng, rr = rand_pcg(rng)
-        p = jnp.max(throughput, axis=-1)
+        p = max_component(throughput)
         do_rr = active & (depth > 3)
         active = active & ~(do_rr & (rr > p))
-        throughput = jnp.where(
-            (do_rr & (rr <= p))[:, None],
-            throughput / jnp.maximum(p, 1e-20)[:, None], throughput)
+        scale = jnp.where(do_rr & (rr <= p), 1.0 / jnp.maximum(p, 1e-20), 1.0)
+        throughput = throughput * scale
 
-        # --- Next hit ---
+        # --- Next hit (wgsl:731-780) ---
         do_next = active & (depth < max_depth - 1)
         nhit = intersect_and_shade(wt, textures, ro_next, rd_next, do_next)
         found = do_next & (nhit.wt >= 0)
         active = jnp.where(depth < max_depth - 1, found, active)
 
-        def sel(new, old):
-            mask = found
-            while mask.ndim < new.ndim:
-                mask = mask[..., None]
-            return jnp.where(mask, new, old)
-
         hit = DenseHit(
-            row=sel(nhit.row, s.hit.row),
-            wt=sel(nhit.wt, s.hit.wt),
-            hit_t=sel(nhit.hit_t, s.hit.hit_t),
-            tex_uv=sel(nhit.tex_uv, s.hit.tex_uv),
-            normal=sel(nhit.normal, normal),
-            geom_n=sel(nhit.geom_n, geom_n),
-            albedo=sel(nhit.albedo, s.hit.albedo),
+            rowT=jnp.where(found[None, :], nhit.rowT, s.hit.rowT),
+            wt=jnp.where(found, nhit.wt, s.hit.wt),
+            hit_t=jnp.where(found, nhit.hit_t, s.hit.hit_t),
+            tex_u=jnp.where(found, nhit.tex_u, s.hit.tex_u),
+            tex_v=jnp.where(found, nhit.tex_v, s.hit.tex_v),
+            normal=where(found, nhit.normal, normal),
+            geom_n=where(found, nhit.geom_n, geom_n),
+            albedo=where(found, nhit.albedo, s.hit.albedo),
         )
 
         return _S(active, ro_next, rd_next, throughput, radiance, rng,
@@ -335,12 +402,24 @@ def trace_pixels_dense(wt: WorldTris, textures, camera24, frame_count, jitter,
                        row0=0, full_height: int | None = None,
                        total_spp: int | None = None, sample0=0):
     """Dense-backend frame render; same signature semantics as
-    ops.trace.trace_pixels (tile/sample sharding offsets included)."""
+    ops.trace.trace_pixels (tile/sample sharding offsets included).
+
+    Returns (H*W, 3) radiance averaged over spp.
+    """
     if full_height is None:
         full_height = height
     if total_spp is None:
         total_spp = spp
-    cam = camera_unpack(camera24)
+
+    cam = camera24  # (24,) block, see scene/camera contract
+    origin = splat((cam[0], cam[1], cam[2]), jnp.zeros(width * height))
+    lens_radius = cam[3]
+    lower_left = (cam[4], cam[5], cam[6])
+    horizontal = (cam[8], cam[9], cam[10])
+    vertical = (cam[12], cam[13], cam[14])
+    u_axis = (cam[16], cam[17], cam[18])
+    v_axis = (cam[20], cam[21], cam[22])
+
     R = width * height
     lane = jnp.arange(R, dtype=jnp.uint32)
     px = (lane % jnp.uint32(width)).astype(jnp.float32)
@@ -355,17 +434,25 @@ def trace_pixels_dense(wt: WorldTris, textures, camera24, frame_count, jitter,
             + jnp.asarray(sample0, jnp.uint32) + i.astype(jnp.uint32))
         rng, (dr1, dr2) = rand_n(rng, 2)
         dx, dy = bsdf.random_in_unit_disk(dr1, dr2)
-        off = (cam["u_axis"][None, :] * (cam["lens_radius"] * dx)[:, None]
-               + cam["v_axis"][None, :] * (cam["lens_radius"] * dy)[:, None])
+        rdx = lens_radius * dx
+        rdy = lens_radius * dy
+        off = V3(u_axis[0] * rdx + v_axis[0] * rdy,
+                 u_axis[1] * rdx + v_axis[1] * rdy,
+                 u_axis[2] * rdx + v_axis[2] * rdy)
+
         u = (px + 0.5 + jitter[0] * width) / width
         v = 1.0 - (py + 0.5 + jitter[1] * full_height) / full_height
-        d = (cam["lower_left"][None, :]
-             + u[:, None] * cam["horizontal"][None, :]
-             + v[:, None] * cam["vertical"][None, :]
-             - cam["origin"][None, :] - off)
-        ro = cam["origin"][None, :] + off
+        d = V3(
+            lower_left[0] + u * horizontal[0] + v * vertical[0] - cam[0],
+            lower_left[1] + u * horizontal[1] + v * vertical[1] - cam[1],
+            lower_left[2] + u * horizontal[2] + v * vertical[2] - cam[2],
+        ) - off
+        ro = origin + off
         col, _ = ray_color_dense(wt, textures, ro, d, rng, max_depth)
-        return acc + col
+        ax, ay, az = acc
+        return (ax + col.x, ay + col.y, az + col.z)
 
-    col = jax.lax.fori_loop(0, spp, one_sample, jnp.zeros((R, 3), jnp.float32))
-    return col / spp
+    zero = jnp.zeros(R, jnp.float32)
+    cx, cy, cz = jax.lax.fori_loop(0, spp, one_sample, (zero, zero, zero))
+    inv = 1.0 / spp
+    return jnp.stack([cx * inv, cy * inv, cz * inv], axis=-1)
