@@ -17,20 +17,6 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-# This machine's sitecustomize (/root/.axon_site) initializes JAX's backends
-# at interpreter startup when PYTHONPATH is unset, freezing the CPU client at
-# 1 device before the flags above can apply. Re-exec once with PYTHONPATH set
-# (any value suppresses that path) so the 8-device virtual mesh is honored.
-if (os.environ.get("PYTHONPATH") is None
-        and os.environ.get("WRT_CONFTEST_REEXEC") != "1"
-        and "jax" not in sys.modules):
-    os.environ["PYTHONPATH"] = os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))
-    os.environ["WRT_CONFTEST_REEXEC"] = "1"
-    argv = getattr(sys, "orig_argv", None)
-    if argv:
-        os.execv(argv[0], argv)
-
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

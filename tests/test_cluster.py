@@ -1,0 +1,197 @@
+"""Distributed render-farm tests: job queue, FSM, fault tolerance.
+
+Exercises the reference's elastic-recovery semantics (SURVEY.md §5.3) over
+real localhost TCP with fake renderers (no device work): auth, scene
+broadcast, assignment, dedupe, grace-period requeue, session resumption,
+late-join scene sync, abort, and frame-ordered mux.
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from webgpu_raytracer_tpu.config import RenderConfig
+from webgpu_raytracer_tpu.parallel import protocol as P
+from webgpu_raytracer_tpu.parallel.cluster import Coordinator, WorkerClient
+from webgpu_raytracer_tpu.render.recorder import EncodedFrame
+
+
+class FakeRenderer:
+    """Stands in for Renderer; the fake recorder below does the work."""
+
+    def __init__(self, config):
+        self.config = config
+
+
+class FakeRecorder:
+    """Generates deterministic fake frames instantly."""
+
+    def __init__(self, renderer, delay=0.0):
+        self.renderer = renderer
+        self.delay = delay
+
+    def record_chunks(self, config, start_frame=0, frame_count=None,
+                      on_progress=None, abort=None):
+        frames = []
+        for k in range(frame_count):
+            if abort is not None and abort.aborted:
+                break
+            if self.delay:
+                time.sleep(self.delay)
+            idx = start_frame + k
+            frames.append(EncodedFrame(
+                frame_index=idx,
+                timestamp_us=idx * 33333,
+                key_frame=idx % 30 == 0,
+                data=f"frame-{idx}".encode(),
+            ))
+        return frames
+
+
+def make_worker(coord, secret="s3cret", delay=0.0, session=None):
+    def factory(config, scene_name, file_type, payload):
+        return FakeRenderer(config)
+
+    w = WorkerClient("127.0.0.1", coord.port, secret=secret,
+                     renderer_factory=factory, session=session)
+    # patch the recorder class used after scene load
+    orig_load = w._load_scene
+
+    def load_scene():
+        orig_load()
+        w._recorder = FakeRecorder(w._renderer, delay=delay)
+
+    w._load_scene = load_scene
+    return w
+
+
+def run_worker(w):
+    t = threading.Thread(target=lambda: (w.connect(), w.run()), daemon=True)
+    t.start()
+    return t
+
+
+@pytest.fixture
+def coord():
+    c = Coordinator(secret="s3cret", grace_period_s=0.5)
+    yield c
+    c.close()
+
+
+def test_auth_rejects_bad_secret(coord):
+    w = make_worker(coord, secret="wrong")
+    with pytest.raises(ConnectionError):
+        w.connect()
+
+
+def test_basic_render_roundtrip(coord):
+    coord.set_scene(RenderConfig(fps=30, duration=1.0, spp=4), "cornell")
+    w = make_worker(coord)
+    run_worker(w)
+    time.sleep(0.3)
+    coord.start_render(total_frames=30, job_batch=10)
+    assert coord.wait(10.0)
+    frames = coord.collect_frames()
+    assert [f.frame_index for f in frames] == list(range(30))
+    assert frames[7].data == b"frame-7"
+
+
+def test_work_stealing_across_workers(coord):
+    coord.set_scene(RenderConfig(fps=30, duration=2.0), "cornell")
+    workers = [make_worker(coord, delay=0.002) for _ in range(3)]
+    for w in workers:
+        run_worker(w)
+    time.sleep(0.5)
+    coord.start_render(total_frames=60, job_batch=5)
+    assert coord.wait(20.0)
+    frames = coord.collect_frames()
+    assert len(frames) == 60
+    status = coord.admin_status()
+    assert len(status["workers"]) == 3
+
+
+def test_grace_period_requeue(coord):
+    """A worker dying mid-job gets its job requeued after the grace period
+    and another worker completes the render."""
+    coord.set_scene(RenderConfig(fps=30, duration=1.0), "cornell")
+    slow = make_worker(coord, delay=0.5)  # will hold its job for a while
+    run_worker(slow)
+    time.sleep(0.3)
+    coord.start_render(total_frames=20, job_batch=10)
+    time.sleep(0.3)
+    slow.close()  # dies mid-job
+
+    fast = make_worker(coord)
+    run_worker(fast)
+    assert coord.wait(15.0), coord.admin_status()
+    frames = coord.collect_frames()
+    assert len(frames) == 20
+
+
+def test_duplicate_results_deduped(coord):
+    coord.set_scene(RenderConfig(), "cornell")
+    w = make_worker(coord)
+    run_worker(w)
+    time.sleep(0.3)
+    coord.start_render(total_frames=10, job_batch=10)
+    assert coord.wait(10.0)
+    # inject a duplicate result directly
+    frames = [EncodedFrame(0, 0, True, b"dup")]
+    meta, blob = P.pack_frames(frames)
+    with coord._lock:
+        ws = list(coord._workers.values())[0]
+    coord._handle(ws, P.Message(P.RENDER_RESULT,
+                                {"start": 0, "frames": meta}, blob))
+    out = coord.collect_frames()
+    assert out[0].data == b"frame-0"  # original kept, duplicate ignored
+
+
+def test_late_join_gets_scene(coord):
+    coord.set_scene(RenderConfig(), "cornell")
+    time.sleep(0.1)
+    w = make_worker(coord)  # joins after scene was set
+    run_worker(w)
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        st = coord.admin_status()
+        if st["workers"] and st["workers"][0]["has_scene"]:
+            break
+        time.sleep(0.05)
+    assert coord.admin_status()["workers"][0]["has_scene"]
+
+
+def test_session_resumption(coord):
+    coord.set_scene(RenderConfig(), "cornell")
+    w = make_worker(coord)
+    run_worker(w)
+    time.sleep(0.3)
+    sid = w.session
+    w.close()
+    time.sleep(0.2)
+    # reconnect with the same session: same worker identity reclaimed
+    w2 = make_worker(coord, session=sid)
+    run_worker(w2)
+    time.sleep(0.3)
+    assert w2.worker_id == w.worker_id
+    assert len(coord.admin_status()["workers"]) == 1
+
+
+def test_admin_status_and_log(coord):
+    coord.set_scene(RenderConfig(), "cornell")
+    w = make_worker(coord)
+    run_worker(w)
+    time.sleep(0.3)
+    st = coord.admin_status()
+    assert "log" in st and len(st["log"]) >= 1
+    assert st["workers"][0]["status"] in ("idle", "loading")
+
+
+def test_frame_pack_roundtrip():
+    frames = [EncodedFrame(i, i * 1000, i == 0, bytes([i] * (i + 1)))
+              for i in range(5)]
+    meta, blob = P.pack_frames(frames)
+    out = P.unpack_frames(meta, blob)
+    for a, b in zip(frames, out):
+        assert a == b

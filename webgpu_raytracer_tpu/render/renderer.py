@@ -73,7 +73,11 @@ class Renderer:
 
         self.world = NativeWorld(scene_name, obj_source, glb_data)
         self.world.update_camera(self.width, self.height)
-        self.scene: DeviceScene = build_device_scene(self.world)
+        from ..utils.textures import decode_world_textures
+
+        self._textures_np = decode_world_textures(self.world)
+        self.scene: DeviceScene = build_device_scene(
+            self.world, textures=self._textures_np)
         n_world_tris = self._world_tri_count()
         self.backend = choose_backend(n_world_tris)
         self.wt = build_world_tris(self.world) if self.backend == "dense" else None
@@ -126,7 +130,7 @@ class Renderer:
     def update_scene(self, time: float, reset: bool = True):
         """Tick the native scene compiler and re-upload flat buffers."""
         self.world.update(time)
-        self.scene = build_device_scene(self.world)
+        self.scene = build_device_scene(self.world, textures=self._textures_np)
         if self.backend == "dense":
             self.wt = build_world_tris(self.world)
         self.world.update_camera(self.width, self.height)
