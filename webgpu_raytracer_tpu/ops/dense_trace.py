@@ -157,6 +157,39 @@ def intersect_and_shade(wt: WorldTris, textures, ro: V3, rd: V3,
     return DenseHit(rowT, idx, t, tex_u, tex_v, normal, geom_n, albedo)
 
 
+def fused_shadow_and_next(wt: WorldTris, textures, sro: V3, srd: V3, s_tmax,
+                          s_active, cro: V3, crd: V3, c_active):
+    """One traversal sweep for both per-bounce ray sets.
+
+    The NEE shadow ray and the next-bounce extension ray are batched as 2R
+    lanes in a single kernel invocation: triangle tiles stream through VMEM
+    once for both, and the fixed per-call cost is paid once. Occlusion is
+    `any hit in (t_min, t_max)` == `closest hit exists`.
+
+    Returns (occluded (R,), DenseHit for the extension rays).
+    """
+    if _use_pallas():
+        from .pallas_dense import pallas_closest_with_row
+
+        R = sro.x.shape[0]
+        cat = jnp.concatenate
+        ro = (cat([sro.x, cro.x]), cat([sro.y, cro.y]), cat([sro.z, cro.z]))
+        rd = (cat([srd.x, crd.x]), cat([srd.y, crd.y]), cat([srd.z, crd.z]))
+        tmax = cat([s_tmax, jnp.full(R, T_MAX, jnp.float32)])
+        act = cat([s_active, c_active])
+        t, idx, rowT = pallas_closest_with_row(wt, ro, rd, t_max=tmax,
+                                               active=act)
+        occluded = idx[:R] >= 0
+        nt, nidx, nrowT = t[R:], idx[R:], rowT[:, R:]
+        tex_u, tex_v, normal, geom_n, albedo = shade_from_rowT(
+            textures, nrowT, cro, crd)
+        return occluded, DenseHit(nrowT, nidx, nt, tex_u, tex_v, normal,
+                                  geom_n, albedo)
+    occluded = shadow_query(wt, sro, srd, t_max=s_tmax, active=s_active)
+    nhit = intersect_and_shade(wt, textures, cro, crd, c_active)
+    return occluded, nhit
+
+
 def shadow_query(wt: WorldTris, ro: V3, rd: V3, t_max, active):
     if _use_pallas():
         from .pallas_dense import pallas_shadow
@@ -182,9 +215,9 @@ def sample_light_dense(wt: WorldTris, textures, hit_p: V3, r0, r1, r2):
     lc = wt.light_count
     lc_f = jnp.maximum(lc.astype(jnp.float32), 1.0)
     pick = jnp.clip((r0 * lc_f).astype(jnp.int32), 0, jnp.maximum(lc - 1, 0))
-    wt_ids = _fetch_rowT(
-        wt.light_wt[:, None].astype(jnp.float32), pick)[0].astype(jnp.int32)
-    rowT = _fetch_rowT(wt.shade_table, wt_ids)
+    # light rows are pre-gathered per scene update: one fetch, no
+    # light_wt -> shade_table double indirection
+    rowT = _fetch_rowT(wt.light_rows, pick)
 
     v0 = _row_v3(rowT, "v0")
     e1 = _row_v3(rowT, "e1")
@@ -273,6 +306,12 @@ def ray_color_dense(wt: WorldTris, textures, ro: V3, rd: V3, rng,
     )
 
     def body(depth, s: _S):
+        # Skip whole bounces once every lane has terminated (common for
+        # depth > mean path length) — the cond prunes the device work.
+        return jax.lax.cond(jnp.any(s.active),
+                            lambda st: _bounce(depth, st), lambda st: st, s)
+
+    def _bounce(depth, s: _S):
         rowT = s.hit.rowT
         mat = _row_f(rowT, "mat").astype(jnp.int32)
         tex_mr = _row_f(rowT, "tex", 1).astype(jnp.int32)
@@ -313,27 +352,21 @@ def ray_color_dense(wt: WorldTris, textures, ro: V3, rd: V3, rng,
         radiance = s.radiance + s.throughput * em_val * add
         active = s.active & ~is_light
 
-        # --- NEE (wgsl:684-698) ---
+        # --- NEE sample + BSDF response (wgsl:684-698); the shadow query is
+        # deferred into the fused traversal below ---
         rng, (r0, r1, r2) = rand_n(s.rng, 3)
         L, ldir, ldist, lpdf = sample_light_dense(wt, textures, hit_p,
                                                   r0, r1, r2)
         nee_lane = active & (mat != 2) & (lpdf > 0.0)
         eps = _offset_eps(hit_p)
         end_eps = jnp.maximum(eps, _offset_eps(hit_p + ldir * ldist))
-        occluded = shadow_query(wt, hit_p + geom_n * eps, ldir,
-                                t_max=ldist - 2.0 * end_eps, active=nee_lane)
         n_dot_l = jnp.maximum(dot(normal, ldir), 0.0)
         is_diff = mat == 0
         bsdf_val = where(is_diff, bsdf.eval_diffuse(albedo),
                          bsdf.eval_ggx(normal, -s.rd, ldir, roughness, f0))
         bsdf_pdf = jnp.where(is_diff, n_dot_l / PI,
                              bsdf.ggx_pdf(normal, -s.rd, ldir, roughness))
-        take = nee_lane & ~occluded & (bsdf_pdf > 0.0)
-        wgt = jnp.where(
-            take,
-            power_heuristic(lpdf, bsdf_pdf) * n_dot_l /
-            jnp.maximum(lpdf, 1e-20), 0.0)
-        radiance = radiance + s.throughput * bsdf_val * L * wgt
+        nee_tp = s.throughput  # contribution uses pre-scatter throughput
 
         # --- BSDF sampling (wgsl:700-707) ---
         rng, (s1, s2) = rand_n(rng, 2)
@@ -373,9 +406,18 @@ def ray_color_dense(wt: WorldTris, textures, ro: V3, rd: V3, rng,
         scale = jnp.where(do_rr & (rr <= p), 1.0 / jnp.maximum(p, 1e-20), 1.0)
         throughput = throughput * scale
 
-        # --- Next hit (wgsl:731-780) ---
+        # --- Fused shadow + next-hit traversal (wgsl:688 + :731-780) ---
         do_next = active & (depth < max_depth - 1)
-        nhit = intersect_and_shade(wt, textures, ro_next, rd_next, do_next)
+        occluded, nhit = fused_shadow_and_next(
+            wt, textures,
+            hit_p + geom_n * eps, ldir, ldist - 2.0 * end_eps, nee_lane,
+            ro_next, rd_next, do_next)
+        take = nee_lane & ~occluded & (bsdf_pdf > 0.0)
+        wgt = jnp.where(
+            take,
+            power_heuristic(lpdf, bsdf_pdf) * n_dot_l /
+            jnp.maximum(lpdf, 1e-20), 0.0)
+        radiance = radiance + nee_tp * bsdf_val * L * wgt
         found = do_next & (nhit.wt >= 0)
         active = jnp.where(depth < max_depth - 1, found, active)
 

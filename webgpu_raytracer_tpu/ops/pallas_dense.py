@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..render.worldtris import FEAT_K, SHADE_K, WorldTris
 
-M_TILE = 1024   # rays per tile (lanes)
+M_TILE = 2048   # rays per tile (lanes)
 C_TILE = 128    # triangles per tile
 T_MAX = 1e30
 _HI = jax.lax.Precision.HIGHEST
@@ -60,6 +60,9 @@ def _kernel(valid_ref, featT_ref, rayfT_ref, tmax_ref, shadeT_ref,
         if with_row:
             out_row_ref[:] = jnp.zeros_like(out_row_ref)
 
+    # NOTE: Mosaic supports only DEFAULT (bf16, quantizes hit distances)
+    # and HIGHEST dot precision; HIGHEST it is. The kernel is MXU-pass-bound
+    # here — a K-packed formulation is the next optimization lever.
     resT = jnp.dot(featT_ref[0], rayfT_ref[:],
                    preferred_element_type=jnp.float32, precision=_HI)
     s0 = resT[0 * C_TILE : 1 * C_TILE]

@@ -159,7 +159,13 @@ class Renderer:
         return self.accum
 
     def present(self) -> np.ndarray:
-        """Run the post-process chain; returns (H, W, 3) uint8."""
+        """Run the post-process chain; returns (H, W, 3) uint8.
+
+        Call once per rendered frame (the reference presents every rAF tick):
+        the TAA history blend uses alpha = 1/frame_count, which converges to
+        the accumulated mean only when the history is advanced every frame.
+        A single present over a cold history after many frames will be dark.
+        """
         ldr, self.history = present_step(
             self.accum,
             self.history,

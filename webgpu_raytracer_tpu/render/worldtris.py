@@ -81,6 +81,10 @@ class WorldTris(NamedTuple):
     # column layout in SHADE_COLS.
     shade_table: jnp.ndarray
 
+    # Shade rows of the light triangles, (Lpad, SHADE_K): NEE fetches sample
+    # this directly instead of a light_wt -> shade_table double indirection.
+    light_rows: jnp.ndarray
+
 
 def _round_up(n, m):
     return max(m, ((n + m - 1) // m) * m)
@@ -212,6 +216,11 @@ def build_world_tris(world, pad_to: int = 128) -> WorldTris:
     ).astype(np.float32)
     assert shade.shape[1] == SHADE_K
 
+    lw_pad = _round_up(len(lw), 128)
+    lw_padded = np.zeros(lw_pad, np.int64)
+    lw_padded[: len(lw)] = lw
+    light_rows = shade[np.clip(lw_padded, 0, shade.shape[0] - 1)]
+
     return WorldTris(
         features=jnp.asarray(features),
         v0=jnp.asarray(v0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
@@ -228,6 +237,7 @@ def build_world_tris(world, pad_to: int = 128) -> WorldTris:
         light_count=jnp.asarray(len(light_wt), jnp.int32),
         valid_count=jnp.asarray(tw, jnp.int32),
         shade_table=jnp.asarray(shade),
+        light_rows=jnp.asarray(light_rows),
     )
 
 
