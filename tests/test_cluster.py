@@ -195,3 +195,40 @@ def test_frame_pack_roundtrip():
     out = P.unpack_frames(meta, blob)
     for a, b in zip(frames, out):
         assert a == b
+
+
+def test_http_admin_console(coord):
+    """HTTP admin endpoint: status JSON, basic auth, kick (server.ts:41-113)."""
+    import json
+    import urllib.request
+    import urllib.error
+
+    port = coord.start_admin(password="pw")
+    coord.set_scene(RenderConfig(), "cornell")
+    w = make_worker(coord)
+    run_worker(w)
+    time.sleep(0.3)
+
+    url = f"http://127.0.0.1:{port}/admin/api/status"
+    # unauthenticated -> 401
+    try:
+        urllib.request.urlopen(url, timeout=5)
+        assert False, "expected 401"
+    except urllib.error.HTTPError as e:
+        assert e.code == 401
+
+    import base64
+    req = urllib.request.Request(url)
+    req.add_header("Authorization",
+                   "Basic " + base64.b64encode(b"admin:pw").decode())
+    with urllib.request.urlopen(req, timeout=5) as resp:
+        st = json.loads(resp.read())
+    assert len(st["workers"]) == 1
+    wid = st["workers"][0]["id"]
+
+    kick = urllib.request.Request(
+        f"http://127.0.0.1:{port}/admin/api/kick?id={wid}", method="POST")
+    kick.add_header("Authorization",
+                    "Basic " + base64.b64encode(b"admin:pw").decode())
+    with urllib.request.urlopen(kick, timeout=5) as resp:
+        assert json.loads(resp.read())["kicked"] == wid

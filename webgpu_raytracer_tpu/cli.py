@@ -101,6 +101,11 @@ def cmd_serve(args):
 
     coord = Coordinator(secret=args.secret, host=args.host, port=args.port)
     print(f"[serve] coordinator on {args.host}:{coord.port}")
+    if args.admin_port is not None:
+        ap = coord.start_admin(host=args.host, port=args.admin_port,
+                               password=args.admin_password)
+        print(f"[serve] admin console: http://{args.host}:{ap}"
+              f"/admin/api/status")
 
     obj_source, glb_data, file_type = _load_model(args.model)
     payload = b""
@@ -207,6 +212,8 @@ def build_parser():
     sp.add_argument("--secret", default="")
     sp.add_argument("--job-batch", type=int, default=20, dest="job_batch")
     sp.add_argument("--output", default="farm_out")
+    sp.add_argument("--admin-port", type=int, default=None, dest="admin_port")
+    sp.add_argument("--admin-password", default="", dest="admin_password")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("worker", help="render-farm worker")

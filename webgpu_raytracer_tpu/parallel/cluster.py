@@ -178,12 +178,80 @@ class Coordinator:
                     except OSError:
                         pass
 
+    def start_admin(self, host: str = "127.0.0.1", port: int = 0,
+                    username: str = "admin", password: str = "") -> int:
+        """HTTP admin console (reference server.ts:41-113 + admin.html):
+        GET /admin/api/status -> JSON snapshot; POST /admin/api/kick?id=N.
+        Basic auth when a password is set. Returns the bound port."""
+        import base64
+        import json as _json
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        coord = self
+        expect = None
+        if password:
+            expect = "Basic " + base64.b64encode(
+                f"{username}:{password}".encode()).decode()
+
+        class Handler(BaseHTTPRequestHandler):
+            def _authed(self):
+                if expect is None:
+                    return True
+                if self.headers.get("Authorization") == expect:
+                    return True
+                self.send_response(401)
+                self.send_header("WWW-Authenticate", "Basic realm=admin")
+                self.end_headers()
+                return False
+
+            def _json(self, code, obj):
+                body = _json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if not self._authed():
+                    return
+                if self.path == "/admin/api/status":
+                    self._json(200, coord.admin_status())
+                else:
+                    self._json(404, {"error": "not found"})
+
+            def do_POST(self):
+                if not self._authed():
+                    return
+                if self.path.startswith("/admin/api/kick"):
+                    from urllib.parse import parse_qs, urlparse
+
+                    q = parse_qs(urlparse(self.path).query)
+                    wid = int(q.get("id", ["-1"])[0])
+                    coord.kick(wid)
+                    coord.log(f"admin kicked worker {wid}")
+                    self._json(200, {"kicked": wid})
+                else:
+                    self._json(404, {"error": "not found"})
+
+            def log_message(self, *args):
+                pass
+
+        self._admin_srv = ThreadingHTTPServer((host, port), Handler)
+        self.admin_port = self._admin_srv.server_address[1]
+        threading.Thread(target=self._admin_srv.serve_forever,
+                         daemon=True).start()
+        return self.admin_port
+
     def close(self):
         self._stop = True
         try:
             self._srv.close()
         except OSError:
             pass
+        admin = getattr(self, "_admin_srv", None)
+        if admin is not None:
+            admin.shutdown()
         with self._lock:
             for w in self._workers.values():
                 if w.sock:
