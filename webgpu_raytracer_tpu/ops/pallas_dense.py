@@ -45,7 +45,23 @@ def _tiled_features_t(wt: WorldTris):
     return f.transpose(2, 1, 3, 0).reshape(n_tiles, 5 * C_TILE, FEAT_K), n_tiles
 
 
-def _kernel(valid_ref, featT_ref, rayfT_ref, tmax_ref, shadeT_ref,
+def _split2(x):
+    """f32 -> (hi, lo) bf16 pair: hi + lo carries ~16 mantissa bits."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _split3(x):
+    """f32 -> (hi, mid, lo) bf16 triple: exact for any f32 (3x8 = 24 bits)."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _kernel(valid_ref, featk3_ref, rayk3_ref, tmax_ref, shadek3_ref,
             out_t_ref, out_i_ref, out_row_ref, *,
             t_min: float, any_hit: bool, with_row: bool):
     j = pl.program_id(1)
@@ -60,11 +76,15 @@ def _kernel(valid_ref, featT_ref, rayfT_ref, tmax_ref, shadeT_ref,
         if with_row:
             out_row_ref[:] = jnp.zeros_like(out_row_ref)
 
-    # NOTE: Mosaic supports only DEFAULT (bf16, quantizes hit distances)
-    # and HIGHEST dot precision; HIGHEST it is. The kernel is MXU-pass-bound
-    # here — a K-packed formulation is the next optimization lever.
-    resT = jnp.dot(featT_ref[0], rayfT_ref[:],
-                   preferred_element_type=jnp.float32, precision=_HI)
+    # bf16x3 split product: Mosaic's f32 dot is 6 bf16 passes (HIGHEST) or a
+    # single quantizing pass (DEFAULT). The operands arrive pre-split into
+    # bf16 hi/lo parts with the three significant cross terms
+    # (fh@rh + fh@rl + fl@rh) packed along K (built in _run; in-kernel
+    # splitting compiles pathologically slowly in Mosaic) — ~f32 accuracy
+    # (error ~2^-16 relative, validated vs the f64 oracle) in ONE pass at
+    # 3x the systolic K-utilization.
+    resT = jnp.dot(featk3_ref[0], rayk3_ref[:],
+                   preferred_element_type=jnp.float32)
     s0 = resT[0 * C_TILE : 1 * C_TILE]
     s1 = resT[1 * C_TILE : 2 * C_TILE]
     s2 = resT[2 * C_TILE : 3 * C_TILE]
@@ -95,10 +115,17 @@ def _kernel(valid_ref, featT_ref, rayfT_ref, tmax_ref, shadeT_ref,
         out_i_ref[:] = jnp.where(upd, cur_idx.astype(jnp.float32),
                                  out_i_ref[:])
         if with_row:
-            oh = ((col == cur_idx) & upd).astype(jnp.float32)  # (C, M)
-            rowT_new = jnp.dot(shadeT_ref[0], oh,
-                               preferred_element_type=jnp.float32,
-                               precision=_HI)                 # (SHADE_K, M)
+            # One-hot row fetch: the pre-built 3-term bf16 split of the
+            # shade table is EXACT (3x8 = 24 mantissa bits covers f32) and
+            # the one-hot is exactly representable in bf16, so a single-pass
+            # dot reproduces table rows bit-for-bit at 1/6 the HIGHEST cost.
+            # The (C, M) one-hot block is reused for all three terms via a
+            # tiled K so no in-kernel concat is needed: shadek3 columns are
+            # ordered [hi | mid | lo] per tri tile and oh is stacked 3x.
+            oh = ((col == cur_idx) & upd).astype(jnp.bfloat16)  # (C, M)
+            oh3 = jnp.concatenate([oh, oh, oh], axis=0)         # (3C, M)
+            rowT_new = jnp.dot(shadek3_ref[0], oh3,
+                               preferred_element_type=jnp.float32)
             out_row_ref[:] = jnp.where(upd, rowT_new, out_row_ref[:])
 
 
@@ -133,6 +160,15 @@ def _run(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
     featsT, n_tri_tiles = _tiled_features_t(wt)
     shadeT = wt.shade_table.T.reshape(SHADE_K, n_tri_tiles, C_TILE).transpose(
         1, 0, 2)  # (n_tiles, SHADE_K, C)
+
+    # Pre-split operands for the kernel's single-pass bf16x3 dots.
+    fh, fl = _split2(featsT)
+    featk3 = jnp.concatenate([fh, fh, fl], axis=2)   # (n_tiles, 5C, 3K)
+    rh, rl = _split2(rayfT)
+    rayk3 = jnp.concatenate([rh, rl, rh], axis=0)    # (3K, Rp)
+    sh, sm, sl = _split3(shadeT)
+    shadek3 = jnp.concatenate([sh, sm, sl], axis=2)  # (n_tiles, SHADE_K, 3C)
+
     n_ray_tiles = rp // M_TILE
     valid = wt.valid_count.reshape(1).astype(jnp.int32)
 
@@ -140,10 +176,10 @@ def _run(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
         num_scalar_prefetch=1,
         grid=(n_ray_tiles, n_tri_tiles),
         in_specs=[
-            pl.BlockSpec((1, 5 * C_TILE, FEAT_K), lambda i, j, v: (j, 0, 0)),
-            pl.BlockSpec((FEAT_K, M_TILE), lambda i, j, v: (0, i)),
+            pl.BlockSpec((1, 5 * C_TILE, 3 * FEAT_K), lambda i, j, v: (j, 0, 0)),
+            pl.BlockSpec((3 * FEAT_K, M_TILE), lambda i, j, v: (0, i)),
             pl.BlockSpec((1, M_TILE), lambda i, j, v: (0, i)),
-            pl.BlockSpec((1, SHADE_K, C_TILE), lambda i, j, v: (j, 0, 0)),
+            pl.BlockSpec((1, SHADE_K, 3 * C_TILE), lambda i, j, v: (j, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, M_TILE), lambda i, j, v: (0, i)),
@@ -164,7 +200,7 @@ def _run(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(valid, featsT, rayfT, t_max[None, :], shadeT)
+    )(valid, featk3, rayk3, t_max[None, :], shadek3)
 
     if any_hit:
         return out_t[0, :R] > 0.0
