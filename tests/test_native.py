@@ -194,3 +194,23 @@ def test_update_is_stable():
     w.update(1.0)
     np.testing.assert_array_equal(w.topology(), a)
     np.testing.assert_array_equal(w.blas(), b)
+
+
+def test_async_world_bridge():
+    """WorldBridge runs updates off-thread (world-bridge.ts analogue)."""
+    from webgpu_raytracer_tpu.models.bridge import WorldBridge
+
+    b = WorldBridge("cornell")
+    fut = b.update_async(0.5)
+    assert b.wait(10.0)
+    assert fut.done() and fut.result()
+    assert b.topology().size > 0  # passthrough to the native world
+    # sync wrapper
+    b.update(1.0)
+    # double-kick guard
+    import pytest as _pytest
+    slow = b.update_async(2.0)
+    if not slow.done():
+        with _pytest.raises(RuntimeError):
+            b.update_async(3.0)
+    b.wait()

@@ -130,6 +130,12 @@ class Renderer:
     def update_scene(self, time: float, reset: bool = True):
         """Tick the native scene compiler and re-upload flat buffers."""
         self.world.update(time)
+        self.reupload_scene(reset=reset)
+
+    def reupload_scene(self, reset: bool = True):
+        """Re-upload device tables from the (already updated) native world —
+        the upload half of update_scene, used by the recorder's host/device
+        overlap (the world update runs on a worker thread meanwhile)."""
         self.scene = build_device_scene(self.world, textures=self._textures_np)
         if self.backend == "dense":
             self.wt = build_world_tris(self.world)
