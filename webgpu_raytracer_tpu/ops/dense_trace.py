@@ -178,7 +178,7 @@ def fused_shadow_and_next(wt: WorldTris, textures, sro: V3, srd: V3, s_tmax,
         tmax = cat([s_tmax, jnp.full(R, T_MAX, jnp.float32)])
         act = cat([s_active, c_active])
         t, idx, rowT = pallas_closest_with_row(wt, ro, rd, t_max=tmax,
-                                               active=act)
+                                               active=act, row_from_lane=R)
         occluded = idx[:R] >= 0
         nt, nidx, nrowT = t[R:], idx[R:], rowT[:, R:]
         tex_u, tex_v, normal, geom_n, albedo = shade_from_rowT(

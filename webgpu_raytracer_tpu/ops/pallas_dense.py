@@ -61,9 +61,13 @@ def _split3(x):
     return hi, mid, lo
 
 
-def _kernel(valid_ref, featk3_ref, rayk3_ref, tmax_ref, shadek3_ref,
+def _kernel(scalars_ref, featk3_ref, rayk3_ref, tmax_ref, shadek3_ref,
             out_t_ref, out_i_ref, out_row_ref, *,
             t_min: float, any_hit: bool, with_row: bool):
+    # scalars: [valid_tri_count, first_row_tile] — ray tiles below
+    # first_row_tile skip the shade-row fetch (the fused per-bounce call
+    # packs shadow lanes first; they never read rows).
+    i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -98,7 +102,7 @@ def _kernel(valid_ref, featk3_ref, rayk3_ref, tmax_ref, shadek3_ref,
     t = tn / jnp.where(ok, td, 1.0)
 
     col = j * C_TILE + jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-    ok = ok & (col < valid_ref[0]) & (t > t_min) & (t < tmax_ref[:])
+    ok = ok & (col < scalars_ref[0]) & (t > t_min) & (t < tmax_ref[:])
 
     if any_hit:
         hit_any = jnp.max(ok.astype(jnp.float32), axis=0, keepdims=True)
@@ -122,11 +126,13 @@ def _kernel(valid_ref, featk3_ref, rayk3_ref, tmax_ref, shadek3_ref,
             # The (C, M) one-hot block is reused for all three terms via a
             # tiled K so no in-kernel concat is needed: shadek3 columns are
             # ordered [hi | mid | lo] per tri tile and oh is stacked 3x.
-            oh = ((col == cur_idx) & upd).astype(jnp.bfloat16)  # (C, M)
-            oh3 = jnp.concatenate([oh, oh, oh], axis=0)         # (3C, M)
-            rowT_new = jnp.dot(shadek3_ref[0], oh3,
-                               preferred_element_type=jnp.float32)
-            out_row_ref[:] = jnp.where(upd, rowT_new, out_row_ref[:])
+            @pl.when(i >= scalars_ref[1])
+            def _fetch_row():
+                oh = ((col == cur_idx) & upd).astype(jnp.bfloat16)  # (C, M)
+                oh3 = jnp.concatenate([oh, oh, oh], axis=0)         # (3C, M)
+                rowT_new = jnp.dot(shadek3_ref[0], oh3,
+                                   preferred_element_type=jnp.float32)
+                out_row_ref[:] = jnp.where(upd, rowT_new, out_row_ref[:])
 
 
 def rayf_from_components(rox, roy, roz, rdx, rdy, rdz):
@@ -142,7 +148,7 @@ def rayf_from_components(rox, roy, roz, rdx, rdy, rdz):
 
 
 def _run(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
-         with_row: bool):
+         with_row: bool, row_from_lane: int = 0):
     """ro, rd are V3 components; t_max/active (R,). Returns transposed outs."""
     rox, roy, roz = ro
     rdx, rdy, rdz = rd
@@ -170,7 +176,11 @@ def _run(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
     shadek3 = jnp.concatenate([sh, sm, sl], axis=2)  # (n_tiles, SHADE_K, 3C)
 
     n_ray_tiles = rp // M_TILE
-    valid = wt.valid_count.reshape(1).astype(jnp.int32)
+    first_row_tile = 0
+    if with_row and row_from_lane and row_from_lane % M_TILE == 0:
+        first_row_tile = row_from_lane // M_TILE
+    scalars = jnp.stack([wt.valid_count.astype(jnp.int32),
+                         jnp.asarray(first_row_tile, jnp.int32)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -200,7 +210,7 @@ def _run(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(valid, featk3, rayk3, t_max[None, :], shadek3)
+    )(scalars, featk3, rayk3, t_max[None, :], shadek3)
 
     if any_hit:
         return out_t[0, :R] > 0.0
@@ -227,13 +237,17 @@ def pallas_closest(wt: WorldTris, ro, rd, t_min=1e-3, t_max=T_MAX, active=None):
 
 
 def pallas_closest_with_row(wt: WorldTris, ro, rd, t_min=1e-3, t_max=T_MAX,
-                            active=None):
-    """Closest hit + fused shade-row fetch: (t, idx, rowT (SHADE_K, R))."""
+                            active=None, row_from_lane: int = 0):
+    """Closest hit + fused shade-row fetch: (t, idx, rowT (SHADE_K, R)).
+
+    row_from_lane: lanes below this index skip the row fetch (their rowT
+    output stays zero) — used by the fused shadow+next sweep whose first R
+    lanes are shadow rays. Applied only when tile-aligned."""
     ro, rd = _v3_of(ro), _v3_of(rd)
     if active is None:
         active = jnp.ones(ro[0].shape[0], bool)
     return _run(wt, ro, rd, t_max, active, float(t_min), any_hit=False,
-                with_row=True)
+                with_row=True, row_from_lane=row_from_lane)
 
 
 def pallas_shadow(wt: WorldTris, ro, rd, t_max, t_min=1e-3, active=None):
