@@ -157,3 +157,68 @@ def skinned_strip_glb() -> bytes:
         }],
     }
     return build_glb(doc, bin_data)
+
+
+def textured_quad_glb() -> bytes:
+    """A quad with an embedded PNG baseColorTexture: left half red, right
+    half blue (tests decode -> texture array -> bilinear sampling)."""
+    import io
+    from PIL import Image
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[:, :4] = [255, 0, 0]
+    img[:, 4:] = [0, 0, 255]
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    png = buf.getvalue()
+
+    positions = np.array(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32)
+    normals = np.tile(np.array([[0, 0, 1]], np.float32), (4, 1))
+    uvs = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    indices = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+
+    blobs = [positions.tobytes(), normals.tobytes(), uvs.tobytes(),
+             indices.tobytes(), png]
+    offsets = []
+    off = 0
+    for b in blobs:
+        offsets.append(off)
+        off += len(b) + ((4 - len(b) % 4) % 4)
+    bin_data = b"".join(b + b"\x00" * ((4 - len(b) % 4) % 4) for b in blobs)
+
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0, "translation": [0.0, 1.0, 0.0]}],
+        "buffers": [{"byteLength": len(bin_data)}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": offsets[0], "byteLength": 48},
+            {"buffer": 0, "byteOffset": offsets[1], "byteLength": 48},
+            {"buffer": 0, "byteOffset": offsets[2], "byteLength": 32},
+            {"buffer": 0, "byteOffset": offsets[3], "byteLength": 12},
+            {"buffer": 0, "byteOffset": offsets[4], "byteLength": len(png)},
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5126, "count": 4, "type": "VEC3"},
+            {"bufferView": 2, "componentType": 5126, "count": 4, "type": "VEC2"},
+            {"bufferView": 3, "componentType": 5123, "count": 6, "type": "SCALAR"},
+        ],
+        "images": [{"bufferView": 4, "mimeType": "image/png"}],
+        "textures": [{"source": 0}],
+        "materials": [{
+            "pbrMetallicRoughness": {
+                "baseColorFactor": [1.0, 1.0, 1.0, 1.0],
+                "baseColorTexture": {"index": 0},
+                "metallicFactor": 0.0,
+            },
+        }],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2},
+            "indices": 3,
+            "material": 0,
+        }]}],
+    }
+    return build_glb(doc, bin_data)

@@ -94,3 +94,59 @@ def test_glb_garbage_is_tolerated():
     junk = struct.pack("<III", 0x46546C67, 2, 12)  # valid magic, truncated
     w2 = NativeWorld("viewer", glb_data=junk)
     assert w2.topology().size > 0
+
+
+def test_glb_texture_pipeline():
+    """Embedded PNG texture: bytes -> decode -> texture array -> sampling.
+
+    The textured quad's albedo must vary left-red / right-blue across its
+    UVs (ResourceManager texture-array semantics end to end)."""
+    import jax.numpy as jnp
+
+    from tests.glb_fixture import textured_quad_glb
+    from webgpu_raytracer_tpu.ops.dense_trace import sample_texture_v3
+    from webgpu_raytracer_tpu.utils.textures import decode_world_textures
+
+    w = NativeWorld("viewer", glb_data=textured_quad_glb())
+    assert w.texture_count() == 1
+    tex = decode_world_textures(w, size=64)
+    assert tex.shape == (1, 64, 64, 3)
+    textures = jnp.asarray(tex)
+
+    idx = jnp.zeros(8, jnp.int32)
+    u = jnp.asarray([0.2] * 4 + [0.8] * 4, jnp.float32)
+    v = jnp.full(8, 0.5, jnp.float32)
+    rgb = sample_texture_v3(textures, idx, u, v)
+    left = np.stack([np.asarray(rgb.x)[:4], np.asarray(rgb.y)[:4],
+                     np.asarray(rgb.z)[:4]], axis=1).mean(axis=0)
+    right = np.stack([np.asarray(rgb.x)[4:], np.asarray(rgb.y)[4:],
+                      np.asarray(rgb.z)[4:]], axis=1).mean(axis=0)
+    assert left[0] > 0.9 and left[2] < 0.1    # red half
+    assert right[2] > 0.9 and right[0] < 0.1  # blue half
+
+    # full pipeline: topology references the texture slot
+    topo = np.asarray(w.topology(), np.uint32).reshape(-1, 20)
+    attrs = topo[:, 4:20].copy().view(np.float32)
+    quad = attrs[topo[:, 3] == topo[:, 3].max()]
+    assert (quad[:, 8] == 0.0).all()  # base tex index 0
+
+
+def test_glb_textured_render():
+    """A render of the textured quad shows the texture's colors."""
+    from tests.glb_fixture import textured_quad_glb
+    from webgpu_raytracer_tpu import Renderer, RenderConfig
+
+    r = Renderer("viewer", glb_data=textured_quad_glb(),
+                 config=RenderConfig(width=48, height=48, max_depth=3,
+                                     shader_spp=1))
+    assert r.scene.textures.shape[0] == 1
+    for _ in range(4):
+        r.render_frame()
+        img = r.present()
+    # the quad (scaled 0.7, rotated 180deg, at center) should show red/blue
+    # regions somewhere in frame
+    f = img.astype(np.float32) / 255.0
+    redness = f[..., 0] - (f[..., 1] + f[..., 2]) / 2
+    blueness = f[..., 2] - (f[..., 0] + f[..., 1]) / 2
+    assert redness.max() > 0.15
+    assert blueness.max() > 0.15
