@@ -45,6 +45,33 @@ def _tiled_features_t(wt: WorldTris):
     return f.transpose(2, 1, 3, 0).reshape(n_tiles, 5 * C_TILE, FEAT_K), n_tiles
 
 
+def _tile_bounding_spheres(wt: WorldTris, n_tiles: int):
+    """Per-triangle-tile bounding spheres (n_tiles, 4): [cx, cy, cz, r].
+
+    World triangles arrive in BLAS-leaf order (spatially coherent), so a
+    C_TILE block's sphere is tight enough for culling. Padding tiles contain
+    only degenerate zero triangles; their radius collapses so the cull test
+    rejects every ray and the whole tile body is skipped.
+    """
+    # Padding rows are all-zero TRIANGLES (v0 = e1 = e2 = 0); exclude whole
+    # invalid triangles (never individual vertices — a real vertex at the
+    # origin must stay inside the bound).
+    tri_valid = (jnp.abs(wt.v0).sum(1) + jnp.abs(wt.e1).sum(1)
+                 + jnp.abs(wt.e2).sum(1)) > 0  # (Twp,)
+    pts = jnp.stack([wt.v0, wt.v0 + wt.e1, wt.v0 + wt.e2], axis=1)  # (Twp,3,3)
+    big = jnp.float32(3e38)
+    vmask = tri_valid[:, None, None]
+    lo = jnp.where(vmask, pts, big).reshape(n_tiles, 3 * C_TILE, 3).min(axis=1)
+    hi = jnp.where(vmask, pts, -big).reshape(n_tiles, 3 * C_TILE, 3).max(axis=1)
+    empty = lo[:, 0] > hi[:, 0]
+    center = jnp.where(empty[:, None], 0.0, (lo + hi) * 0.5)
+    r = jnp.where(empty, -1.0, jnp.linalg.norm(
+        jnp.where(empty[:, None], 0.0, hi - center), axis=1))
+    # lane-pad the minor dim to 128 (Mosaic block-shape requirement)
+    out = jnp.concatenate([center, r[:, None]], axis=1)
+    return jnp.pad(out, ((0, 0), (0, 124)))[:, None, :]  # (n_tiles, 1, 128)
+
+
 def _split2(x):
     """f32 -> (hi, lo) bf16 pair: hi + lo carries ~16 mantissa bits."""
     hi = x.astype(jnp.bfloat16)
@@ -61,7 +88,8 @@ def _split3(x):
     return hi, mid, lo
 
 
-def _kernel(scalars_ref, featk3_ref, rayk3_ref, tmax_ref, shadek3_ref,
+def _kernel(scalars_ref, featk3_ref, rayk3_ref, rayf_ref, tmax_ref,
+            sph_ref, shadek3_ref,
             out_t_ref, out_i_ref, out_row_ref, *,
             t_min: float, any_hit: bool, with_row: bool):
     # scalars: [valid_tri_count, first_row_tile] — ray tiles below
@@ -80,34 +108,59 @@ def _kernel(scalars_ref, featk3_ref, rayk3_ref, tmax_ref, shadek3_ref,
         if with_row:
             out_row_ref[:] = jnp.zeros_like(out_row_ref)
 
-    # bf16x3 split product: Mosaic's f32 dot is 6 bf16 passes (HIGHEST) or a
-    # single quantizing pass (DEFAULT). The operands arrive pre-split into
-    # bf16 hi/lo parts with the three significant cross terms
-    # (fh@rh + fh@rl + fl@rh) packed along K (built in _run; in-kernel
-    # splitting compiles pathologically slowly in Mosaic) — ~f32 accuracy
-    # (error ~2^-16 relative, validated vs the f64 oracle) in ONE pass at
-    # 3x the systolic K-utilization.
-    resT = jnp.dot(featk3_ref[0], rayk3_ref[:],
-                   preferred_element_type=jnp.float32)
-    s0 = resT[0 * C_TILE : 1 * C_TILE]
-    s1 = resT[1 * C_TILE : 2 * C_TILE]
-    s2 = resT[2 * C_TILE : 3 * C_TILE]
-    tn = resT[3 * C_TILE : 4 * C_TILE]
-    td = resT[4 * C_TILE : 5 * C_TILE]
-
-    inside = (jnp.minimum(jnp.minimum(s0, s1), s2) >= 0.0) | (
-        jnp.maximum(jnp.maximum(s0, s1), s2) <= 0.0
-    )
-    ok = inside & (jnp.abs(td) >= 1e-6)
-    t = tn / jnp.where(ok, td, 1.0)
-
-    col = j * C_TILE + jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-    ok = ok & (col < scalars_ref[0]) & (t > t_min) & (t < tmax_ref[:])
-
+    # --- Cluster cull: skip this (ray tile, tri tile) step entirely when no
+    # ray segment can touch the tile's bounding sphere. Division-free
+    # ray/sphere interval test in f32 (rayf rows: d = 0..2, o = 6..8); for
+    # closest-hit the per-lane interval tightens with the running best t.
+    cx, cy, cz, r = (sph_ref[0, 0, 0], sph_ref[0, 0, 1], sph_ref[0, 0, 2],
+                     sph_ref[0, 0, 3])
+    dx, dy, dz = rayf_ref[0:1, :], rayf_ref[1:2, :], rayf_ref[2:3, :]
+    ocx = rayf_ref[6:7, :] - cx
+    ocy = rayf_ref[7:8, :] - cy
+    ocz = rayf_ref[8:9, :] - cz
+    b = dx * ocx + dy * ocy + dz * ocz
+    dd = dx * dx + dy * dy + dz * dz
+    cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+    disc = b * b - dd * cc
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     if any_hit:
-        hit_any = jnp.max(ok.astype(jnp.float32), axis=0, keepdims=True)
-        out_t_ref[:] = jnp.maximum(out_t_ref[:], hit_any)
+        lane_tmax = jnp.where(out_t_ref[:] > 0.0, 0.0, tmax_ref[:])
     else:
+        lane_tmax = jnp.minimum(tmax_ref[:], out_t_ref[:])
+    possible = (disc >= 0.0) & (lane_tmax > 0.0) \
+        & (-b + sq >= dd * t_min) & (-b - sq <= dd * lane_tmax)
+    any_possible = (r >= 0.0) & (jnp.max(possible.astype(jnp.float32)) > 0.0)
+
+    @pl.when(any_possible)
+    def _tile_work():
+        # bf16x3 split product: Mosaic's f32 dot is 6 bf16 passes (HIGHEST)
+        # or a single quantizing pass (DEFAULT). The operands arrive
+        # pre-split into bf16 hi/lo parts with the three significant cross
+        # terms (fh@rh + fh@rl + fl@rh) packed along K (built in _run;
+        # in-kernel splitting compiles pathologically slowly in Mosaic) —
+        # ~f32 accuracy (error ~2^-16 relative, validated vs the f64 oracle)
+        # in ONE pass at 3x the systolic K-utilization.
+        resT = jnp.dot(featk3_ref[0], rayk3_ref[:],
+                       preferred_element_type=jnp.float32)
+        s0 = resT[0 * C_TILE : 1 * C_TILE]
+        s1 = resT[1 * C_TILE : 2 * C_TILE]
+        s2 = resT[2 * C_TILE : 3 * C_TILE]
+        tn = resT[3 * C_TILE : 4 * C_TILE]
+        td = resT[4 * C_TILE : 5 * C_TILE]
+
+        inside = (jnp.minimum(jnp.minimum(s0, s1), s2) >= 0.0) | (
+            jnp.maximum(jnp.maximum(s0, s1), s2) <= 0.0
+        )
+        ok = inside & (jnp.abs(td) >= 1e-6)
+        t = tn / jnp.where(ok, td, 1.0)
+
+        col = j * C_TILE + jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+        ok = ok & (col < scalars_ref[0]) & (t > t_min) & (t < tmax_ref[:])
+
+        if any_hit:
+            hit_any = jnp.max(ok.astype(jnp.float32), axis=0, keepdims=True)
+            out_t_ref[:] = jnp.maximum(out_t_ref[:], hit_any)
+            return
         tm = jnp.where(ok, t, jnp.float32(T_MAX))
         cur_min = jnp.min(tm, axis=0, keepdims=True)        # (1, M)
         cur_idx = jnp.min(
@@ -164,6 +217,7 @@ def _run(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
     rp = R + r_pad
 
     featsT, n_tri_tiles = _tiled_features_t(wt)
+    spheres = _tile_bounding_spheres(wt, n_tri_tiles)  # (n_tiles, 4)
     shadeT = wt.shade_table.T.reshape(SHADE_K, n_tri_tiles, C_TILE).transpose(
         1, 0, 2)  # (n_tiles, SHADE_K, C)
 
@@ -188,7 +242,9 @@ def _run(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
         in_specs=[
             pl.BlockSpec((1, 5 * C_TILE, 3 * FEAT_K), lambda i, j, v: (j, 0, 0)),
             pl.BlockSpec((3 * FEAT_K, M_TILE), lambda i, j, v: (0, i)),
+            pl.BlockSpec((FEAT_K, M_TILE), lambda i, j, v: (0, i)),
             pl.BlockSpec((1, M_TILE), lambda i, j, v: (0, i)),
+            pl.BlockSpec((1, 1, 128), lambda i, j, v: (j, 0, 0)),
             pl.BlockSpec((1, SHADE_K, 3 * C_TILE), lambda i, j, v: (j, 0, 0)),
         ],
         out_specs=[
@@ -210,7 +266,7 @@ def _run(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(scalars, featk3, rayk3, t_max[None, :], shadek3)
+    )(scalars, featk3, rayk3, rayfT, t_max[None, :], spheres, shadek3)
 
     if any_hit:
         return out_t[0, :R] > 0.0
