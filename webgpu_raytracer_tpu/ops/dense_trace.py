@@ -102,7 +102,11 @@ def shade_from_rowT(textures, rowT, ro: V3, rd: V3):
 
     Same math as the reference's hit reconstruction (Raytracer.wgsl:738-779)
     minus the object-space round trip: barycentrics are affine-invariant so
-    world-space Moller-Trumbore gives identical weights.
+    world-space Moller-Trumbore gives identical weights. The hit distance is
+    ALSO recomputed here in full f32 (the reference recomputes hit_t from the
+    G-buffer triangle the same way, wgsl:643): the intersection kernel's
+    bf16x3 t carries ~1e-5 relative error, which would put bounce origins
+    inside their surfaces and self-absorb paths.
     """
     v0 = _row_v3(rowT, "v0")
     e1 = _row_v3(rowT, "e1")
@@ -116,6 +120,7 @@ def shade_from_rowT(textures, rowT, ro: V3, rd: V3):
     q = cross(s, e1)
     v = f * dot(rd, q)
     w = 1.0 - u - v
+    t_refined = f * dot(e2, q)
 
     lo_uv0 = SHADE_COLS["uv0"][0]
     tex_u = rowT[lo_uv0] * w + rowT[SHADE_COLS["uv1"][0]] * u + rowT[SHADE_COLS["uv2"][0]] * v
@@ -137,7 +142,7 @@ def shade_from_rowT(textures, rowT, ro: V3, rd: V3):
     normal = where(normal_tex >= 0, ln_mapped, ln)
 
     geom_n = normalize(cross(e1, e2))
-    return tex_u, tex_v, normal, geom_n, albedo
+    return t_refined, tex_u, tex_v, normal, geom_n, albedo
 
 
 def intersect_and_shade(wt: WorldTris, textures, ro: V3, rd: V3,
@@ -153,7 +158,9 @@ def intersect_and_shade(wt: WorldTris, textures, ro: V3, rd: V3,
         t, idx = dense_closest(wt, to_rows(ro), to_rows(rd), active=active)
         rowT = wt.shade_table[jnp.clip(idx, 0, wt.shade_table.shape[0] - 1)].T
         rowT = jnp.where((idx >= 0)[None, :], rowT, 0.0)
-    tex_u, tex_v, normal, geom_n, albedo = shade_from_rowT(textures, rowT, ro, rd)
+    tr, tex_u, tex_v, normal, geom_n, albedo = shade_from_rowT(
+        textures, rowT, ro, rd)
+    t = jnp.where(idx >= 0, tr, t)  # f32-refined hit distance
     return DenseHit(rowT, idx, t, tex_u, tex_v, normal, geom_n, albedo)
 
 
@@ -181,8 +188,9 @@ def fused_shadow_and_next(wt: WorldTris, textures, sro: V3, srd: V3, s_tmax,
                                                active=act, row_from_lane=R)
         occluded = idx[:R] >= 0
         nt, nidx, nrowT = t[R:], idx[R:], rowT[:, R:]
-        tex_u, tex_v, normal, geom_n, albedo = shade_from_rowT(
+        tr, tex_u, tex_v, normal, geom_n, albedo = shade_from_rowT(
             textures, nrowT, cro, crd)
+        nt = jnp.where(nidx >= 0, tr, nt)  # f32-refined hit distance
         return occluded, DenseHit(nrowT, nidx, nt, tex_u, tex_v, normal,
                                   geom_n, albedo)
     occluded = shadow_query(wt, sro, srd, t_max=s_tmax, active=s_active)
