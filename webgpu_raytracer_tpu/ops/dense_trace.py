@@ -174,25 +174,13 @@ def fused_shadow_and_next(wt: WorldTris, textures, sro: V3, srd: V3, s_tmax,
     `any hit in (t_min, t_max)` == `closest hit exists`.
 
     Returns (occluded (R,), DenseHit for the extension rays).
-    """
-    if _use_pallas():
-        from .pallas_dense import pallas_closest_with_row
 
-        R = sro.x.shape[0]
-        cat = jnp.concatenate
-        ro = (cat([sro.x, cro.x]), cat([sro.y, cro.y]), cat([sro.z, cro.z]))
-        rd = (cat([srd.x, crd.x]), cat([srd.y, crd.y]), cat([srd.z, crd.z]))
-        tmax = cat([s_tmax, jnp.full(R, T_MAX, jnp.float32)])
-        act = cat([s_active, c_active])
-        t, idx, rowT = pallas_closest_with_row(wt, ro, rd, t_max=tmax,
-                                               active=act, row_from_lane=R)
-        occluded = idx[:R] >= 0
-        nt, nidx, nrowT = t[R:], idx[R:], rowT[:, R:]
-        tr, tex_u, tex_v, normal, geom_n, albedo = shade_from_rowT(
-            textures, nrowT, cro, crd)
-        nt = jnp.where(nidx >= 0, tr, nt)  # f32-refined hit distance
-        return occluded, DenseHit(nrowT, nidx, nt, tex_u, tex_v, normal,
-                                  geom_n, albedo)
+    NOTE: with the HIGHEST-precision kernel, batching both ray sets through
+    the with_row variant makes the (expensive, 6-pass) row matmul run for
+    the shadow half too — a net pessimization — so this currently issues the
+    two calls separately (the 2R-lane fused variant with per-tile row gating
+    lives on the split-kernel-wip branch).
+    """
     occluded = shadow_query(wt, sro, srd, t_max=s_tmax, active=s_active)
     nhit = intersect_and_shade(wt, textures, cro, crd, c_active)
     return occluded, nhit
