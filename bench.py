@@ -25,6 +25,7 @@ SPP = 1
 DEPTH = 8
 WARMUP = 2
 ITERS = 8
+REPEATS = 3  # best-of-N: the tunneled chip shows ~±15% contention noise
 
 
 def measure_rays_per_sample(scene, camera):

@@ -102,11 +102,7 @@ def shade_from_rowT(textures, rowT, ro: V3, rd: V3):
 
     Same math as the reference's hit reconstruction (Raytracer.wgsl:738-779)
     minus the object-space round trip: barycentrics are affine-invariant so
-    world-space Moller-Trumbore gives identical weights. The hit distance is
-    ALSO recomputed here in full f32 (the reference recomputes hit_t from the
-    G-buffer triangle the same way, wgsl:643): the intersection kernel's
-    bf16x3 t carries ~1e-5 relative error, which would put bounce origins
-    inside their surfaces and self-absorb paths.
+    world-space Moller-Trumbore gives identical weights.
     """
     v0 = _row_v3(rowT, "v0")
     e1 = _row_v3(rowT, "e1")
@@ -120,7 +116,6 @@ def shade_from_rowT(textures, rowT, ro: V3, rd: V3):
     q = cross(s, e1)
     v = f * dot(rd, q)
     w = 1.0 - u - v
-    t_refined = f * dot(e2, q)
 
     lo_uv0 = SHADE_COLS["uv0"][0]
     tex_u = rowT[lo_uv0] * w + rowT[SHADE_COLS["uv1"][0]] * u + rowT[SHADE_COLS["uv2"][0]] * v
@@ -142,7 +137,7 @@ def shade_from_rowT(textures, rowT, ro: V3, rd: V3):
     normal = where(normal_tex >= 0, ln_mapped, ln)
 
     geom_n = normalize(cross(e1, e2))
-    return t_refined, tex_u, tex_v, normal, geom_n, albedo
+    return tex_u, tex_v, normal, geom_n, albedo
 
 
 def intersect_and_shade(wt: WorldTris, textures, ro: V3, rd: V3,
@@ -158,9 +153,7 @@ def intersect_and_shade(wt: WorldTris, textures, ro: V3, rd: V3,
         t, idx = dense_closest(wt, to_rows(ro), to_rows(rd), active=active)
         rowT = wt.shade_table[jnp.clip(idx, 0, wt.shade_table.shape[0] - 1)].T
         rowT = jnp.where((idx >= 0)[None, :], rowT, 0.0)
-    tr, tex_u, tex_v, normal, geom_n, albedo = shade_from_rowT(
-        textures, rowT, ro, rd)
-    t = jnp.where(idx >= 0, tr, t)  # f32-refined hit distance
+    tex_u, tex_v, normal, geom_n, albedo = shade_from_rowT(textures, rowT, ro, rd)
     return DenseHit(rowT, idx, t, tex_u, tex_v, normal, geom_n, albedo)
 
 
@@ -174,13 +167,24 @@ def fused_shadow_and_next(wt: WorldTris, textures, sro: V3, srd: V3, s_tmax,
     `any hit in (t_min, t_max)` == `closest hit exists`.
 
     Returns (occluded (R,), DenseHit for the extension rays).
-
-    NOTE: with the HIGHEST-precision kernel, batching both ray sets through
-    the with_row variant makes the (expensive, 6-pass) row matmul run for
-    the shadow half too — a net pessimization — so this currently issues the
-    two calls separately (the 2R-lane fused variant with per-tile row gating
-    lives on the split-kernel-wip branch).
     """
+    if _use_pallas():
+        from .pallas_dense import pallas_closest_with_row
+
+        R = sro.x.shape[0]
+        cat = jnp.concatenate
+        ro = (cat([sro.x, cro.x]), cat([sro.y, cro.y]), cat([sro.z, cro.z]))
+        rd = (cat([srd.x, crd.x]), cat([srd.y, crd.y]), cat([srd.z, crd.z]))
+        tmax = cat([s_tmax, jnp.full(R, T_MAX, jnp.float32)])
+        act = cat([s_active, c_active])
+        t, idx, rowT = pallas_closest_with_row(wt, ro, rd, t_max=tmax,
+                                               active=act, row_from_lane=R)
+        occluded = idx[:R] >= 0
+        nt, nidx, nrowT = t[R:], idx[R:], rowT[:, R:]
+        tex_u, tex_v, normal, geom_n, albedo = shade_from_rowT(
+            textures, nrowT, cro, crd)
+        return occluded, DenseHit(nrowT, nidx, nt, tex_u, tex_v, normal,
+                                  geom_n, albedo)
     occluded = shadow_query(wt, sro, srd, t_max=s_tmax, active=s_active)
     nhit = intersect_and_shade(wt, textures, cro, crd, c_active)
     return occluded, nhit

@@ -45,9 +45,71 @@ def _tiled_features_t(wt: WorldTris):
     return f.transpose(2, 1, 3, 0).reshape(n_tiles, 5 * C_TILE, FEAT_K), n_tiles
 
 
-def _kernel(valid_ref, featT_ref, rayfT_ref, tmax_ref, shadeT_ref,
+def _tile_bounding_spheres(wt: WorldTris, n_tiles: int):
+    """Per-triangle-tile bounding spheres (n_tiles, 4): [cx, cy, cz, r].
+
+    World triangles arrive in BLAS-leaf order (spatially coherent), so a
+    C_TILE block's sphere is tight enough for culling. Padding tiles contain
+    only degenerate zero triangles; their radius collapses so the cull test
+    rejects every ray and the whole tile body is skipped.
+    """
+    # Padding rows are all-zero TRIANGLES (v0 = e1 = e2 = 0); exclude whole
+    # invalid triangles (never individual vertices — a real vertex at the
+    # origin must stay inside the bound).
+    tri_valid = (jnp.abs(wt.v0).sum(1) + jnp.abs(wt.e1).sum(1)
+                 + jnp.abs(wt.e2).sum(1)) > 0  # (Twp,)
+    pts = jnp.stack([wt.v0, wt.v0 + wt.e1, wt.v0 + wt.e2], axis=1)  # (Twp,3,3)
+    big = jnp.float32(3e38)
+    vmask = tri_valid[:, None, None]
+    lo = jnp.where(vmask, pts, big).reshape(n_tiles, 3 * C_TILE, 3).min(axis=1)
+    hi = jnp.where(vmask, pts, -big).reshape(n_tiles, 3 * C_TILE, 3).max(axis=1)
+    empty = lo[:, 0] > hi[:, 0]
+    center = jnp.where(empty[:, None], 0.0, (lo + hi) * 0.5)
+    r = jnp.where(empty, -1.0, jnp.linalg.norm(
+        jnp.where(empty[:, None], 0.0, hi - center), axis=1))
+    # lane-pad the minor dim to 128 (Mosaic block-shape requirement)
+    out = jnp.concatenate([center, r[:, None]], axis=1)
+    return jnp.pad(out, ((0, 0), (0, 124)))[:, None, :]  # (n_tiles, 1, 128)
+
+
+def _split2(x):
+    """f32 -> (hi, lo) bf16 pair: hi + lo carries ~16 mantissa bits.
+
+    The optimization_barrier is load-bearing: under jit, XLA's
+    excess-precision rule may cancel the f32->bf16->f32 round-trip
+    (convert(convert(x, bf16), f32) -> x), which makes lo == 0 and
+    silently degrades the split to plain bf16. The barrier hides the
+    convert pair from the simplifier so the residual survives.
+    """
+    hi = x.astype(jnp.bfloat16)
+    hi_exact = jax.lax.optimization_barrier(hi)
+    lo = (x - hi_exact.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _split3(x):
+    """f32 -> (hi, mid, lo) bf16 triple: exact for any f32 (3x8 = 24 bits).
+
+    Barriers for the same reason as _split2: each bf16 round-trip must
+    survive XLA's excess-precision simplification or the residuals
+    collapse to zero under jit.
+    """
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - jax.lax.optimization_barrier(hi).astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - jax.lax.optimization_barrier(mid).astype(jnp.float32)
+          ).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _kernel(scalars_ref, featk3_ref, rayk3_ref, rayf_ref, tmax_ref,
+            sph_ref, shadek3_ref,
             out_t_ref, out_i_ref, out_row_ref, *,
             t_min: float, any_hit: bool, with_row: bool):
+    # scalars: [valid_tri_count, first_row_tile] — ray tiles below
+    # first_row_tile skip the shade-row fetch (the fused per-bounce call
+    # packs shadow lanes first; they never read rows).
+    i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -60,30 +122,59 @@ def _kernel(valid_ref, featT_ref, rayfT_ref, tmax_ref, shadeT_ref,
         if with_row:
             out_row_ref[:] = jnp.zeros_like(out_row_ref)
 
-    # NOTE: Mosaic supports only DEFAULT (bf16, quantizes hit distances)
-    # and HIGHEST dot precision; HIGHEST it is. The kernel is MXU-pass-bound
-    # here — a K-packed formulation is the next optimization lever.
-    resT = jnp.dot(featT_ref[0], rayfT_ref[:],
-                   preferred_element_type=jnp.float32, precision=_HI)
-    s0 = resT[0 * C_TILE : 1 * C_TILE]
-    s1 = resT[1 * C_TILE : 2 * C_TILE]
-    s2 = resT[2 * C_TILE : 3 * C_TILE]
-    tn = resT[3 * C_TILE : 4 * C_TILE]
-    td = resT[4 * C_TILE : 5 * C_TILE]
-
-    inside = (jnp.minimum(jnp.minimum(s0, s1), s2) >= 0.0) | (
-        jnp.maximum(jnp.maximum(s0, s1), s2) <= 0.0
-    )
-    ok = inside & (jnp.abs(td) >= 1e-6)
-    t = tn / jnp.where(ok, td, 1.0)
-
-    col = j * C_TILE + jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-    ok = ok & (col < valid_ref[0]) & (t > t_min) & (t < tmax_ref[:])
-
+    # --- Cluster cull: skip this (ray tile, tri tile) step entirely when no
+    # ray segment can touch the tile's bounding sphere. Division-free
+    # ray/sphere interval test in f32 (rayf rows: d = 0..2, o = 6..8); for
+    # closest-hit the per-lane interval tightens with the running best t.
+    cx, cy, cz, r = (sph_ref[0, 0, 0], sph_ref[0, 0, 1], sph_ref[0, 0, 2],
+                     sph_ref[0, 0, 3])
+    dx, dy, dz = rayf_ref[0:1, :], rayf_ref[1:2, :], rayf_ref[2:3, :]
+    ocx = rayf_ref[6:7, :] - cx
+    ocy = rayf_ref[7:8, :] - cy
+    ocz = rayf_ref[8:9, :] - cz
+    b = dx * ocx + dy * ocy + dz * ocz
+    dd = dx * dx + dy * dy + dz * dz
+    cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+    disc = b * b - dd * cc
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     if any_hit:
-        hit_any = jnp.max(ok.astype(jnp.float32), axis=0, keepdims=True)
-        out_t_ref[:] = jnp.maximum(out_t_ref[:], hit_any)
+        lane_tmax = jnp.where(out_t_ref[:] > 0.0, 0.0, tmax_ref[:])
     else:
+        lane_tmax = jnp.minimum(tmax_ref[:], out_t_ref[:])
+    possible = (disc >= 0.0) & (lane_tmax > 0.0) \
+        & (-b + sq >= dd * t_min) & (-b - sq <= dd * lane_tmax)
+    any_possible = (r >= 0.0) & (jnp.max(possible.astype(jnp.float32)) > 0.0)
+
+    @pl.when(any_possible)
+    def _tile_work():
+        # bf16x3 split product: Mosaic's f32 dot is 6 bf16 passes (HIGHEST)
+        # or a single quantizing pass (DEFAULT). The operands arrive
+        # pre-split into bf16 hi/lo parts with the three significant cross
+        # terms (fh@rh + fh@rl + fl@rh) packed along K (built in _run;
+        # in-kernel splitting compiles pathologically slowly in Mosaic) —
+        # ~f32 accuracy (error ~2^-16 relative, validated vs the f64 oracle)
+        # in ONE pass at 3x the systolic K-utilization.
+        resT = jnp.dot(featk3_ref[0], rayk3_ref[:],
+                       preferred_element_type=jnp.float32)
+        s0 = resT[0 * C_TILE : 1 * C_TILE]
+        s1 = resT[1 * C_TILE : 2 * C_TILE]
+        s2 = resT[2 * C_TILE : 3 * C_TILE]
+        tn = resT[3 * C_TILE : 4 * C_TILE]
+        td = resT[4 * C_TILE : 5 * C_TILE]
+
+        inside = (jnp.minimum(jnp.minimum(s0, s1), s2) >= 0.0) | (
+            jnp.maximum(jnp.maximum(s0, s1), s2) <= 0.0
+        )
+        ok = inside & (jnp.abs(td) >= 1e-6)
+        t = tn / jnp.where(ok, td, 1.0)
+
+        col = j * C_TILE + jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+        ok = ok & (col < scalars_ref[0]) & (t > t_min) & (t < tmax_ref[:])
+
+        if any_hit:
+            hit_any = jnp.max(ok.astype(jnp.float32), axis=0, keepdims=True)
+            out_t_ref[:] = jnp.maximum(out_t_ref[:], hit_any)
+            return
         tm = jnp.where(ok, t, jnp.float32(T_MAX))
         cur_min = jnp.min(tm, axis=0, keepdims=True)        # (1, M)
         cur_idx = jnp.min(
@@ -95,11 +186,20 @@ def _kernel(valid_ref, featT_ref, rayfT_ref, tmax_ref, shadeT_ref,
         out_i_ref[:] = jnp.where(upd, cur_idx.astype(jnp.float32),
                                  out_i_ref[:])
         if with_row:
-            oh = ((col == cur_idx) & upd).astype(jnp.float32)  # (C, M)
-            rowT_new = jnp.dot(shadeT_ref[0], oh,
-                               preferred_element_type=jnp.float32,
-                               precision=_HI)                 # (SHADE_K, M)
-            out_row_ref[:] = jnp.where(upd, rowT_new, out_row_ref[:])
+            # One-hot row fetch: the pre-built 3-term bf16 split of the
+            # shade table is EXACT (3x8 = 24 mantissa bits covers f32) and
+            # the one-hot is exactly representable in bf16, so a single-pass
+            # dot reproduces table rows bit-for-bit at 1/6 the HIGHEST cost.
+            # The (C, M) one-hot block is reused for all three terms via a
+            # tiled K so no in-kernel concat is needed: shadek3 columns are
+            # ordered [hi | mid | lo] per tri tile and oh is stacked 3x.
+            @pl.when(i >= scalars_ref[1])
+            def _fetch_row():
+                oh = ((col == cur_idx) & upd).astype(jnp.bfloat16)  # (C, M)
+                oh3 = jnp.concatenate([oh, oh, oh], axis=0)         # (3C, M)
+                rowT_new = jnp.dot(shadek3_ref[0], oh3,
+                                   preferred_element_type=jnp.float32)
+                out_row_ref[:] = jnp.where(upd, rowT_new, out_row_ref[:])
 
 
 def rayf_from_components(rox, roy, roz, rdx, rdy, rdz):
@@ -115,7 +215,7 @@ def rayf_from_components(rox, roy, roz, rdx, rdy, rdz):
 
 
 def _run(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
-         with_row: bool):
+         with_row: bool, row_from_lane: int = 0):
     """ro, rd are V3 components; t_max/active (R,). Returns transposed outs."""
     rox, roy, roz = ro
     rdx, rdy, rdz = rd
@@ -131,19 +231,35 @@ def _run(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
     rp = R + r_pad
 
     featsT, n_tri_tiles = _tiled_features_t(wt)
+    spheres = _tile_bounding_spheres(wt, n_tri_tiles)  # (n_tiles, 4)
     shadeT = wt.shade_table.T.reshape(SHADE_K, n_tri_tiles, C_TILE).transpose(
         1, 0, 2)  # (n_tiles, SHADE_K, C)
+
+    # Pre-split operands for the kernel's single-pass bf16x3 dots.
+    fh, fl = _split2(featsT)
+    featk3 = jnp.concatenate([fh, fh, fl], axis=2)   # (n_tiles, 5C, 3K)
+    rh, rl = _split2(rayfT)
+    rayk3 = jnp.concatenate([rh, rl, rh], axis=0)    # (3K, Rp)
+    sh, sm, sl = _split3(shadeT)
+    shadek3 = jnp.concatenate([sh, sm, sl], axis=2)  # (n_tiles, SHADE_K, 3C)
+
     n_ray_tiles = rp // M_TILE
-    valid = wt.valid_count.reshape(1).astype(jnp.int32)
+    first_row_tile = 0
+    if with_row and row_from_lane and row_from_lane % M_TILE == 0:
+        first_row_tile = row_from_lane // M_TILE
+    scalars = jnp.stack([wt.valid_count.astype(jnp.int32),
+                         jnp.asarray(first_row_tile, jnp.int32)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_ray_tiles, n_tri_tiles),
         in_specs=[
-            pl.BlockSpec((1, 5 * C_TILE, FEAT_K), lambda i, j, v: (j, 0, 0)),
+            pl.BlockSpec((1, 5 * C_TILE, 3 * FEAT_K), lambda i, j, v: (j, 0, 0)),
+            pl.BlockSpec((3 * FEAT_K, M_TILE), lambda i, j, v: (0, i)),
             pl.BlockSpec((FEAT_K, M_TILE), lambda i, j, v: (0, i)),
             pl.BlockSpec((1, M_TILE), lambda i, j, v: (0, i)),
-            pl.BlockSpec((1, SHADE_K, C_TILE), lambda i, j, v: (j, 0, 0)),
+            pl.BlockSpec((1, 1, 128), lambda i, j, v: (j, 0, 0)),
+            pl.BlockSpec((1, SHADE_K, 3 * C_TILE), lambda i, j, v: (j, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, M_TILE), lambda i, j, v: (0, i)),
@@ -164,7 +280,7 @@ def _run(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(valid, featsT, rayfT, t_max[None, :], shadeT)
+    )(scalars, featk3, rayk3, rayfT, t_max[None, :], spheres, shadek3)
 
     if any_hit:
         return out_t[0, :R] > 0.0
@@ -192,12 +308,16 @@ def pallas_closest(wt: WorldTris, ro, rd, t_min=1e-3, t_max=T_MAX, active=None):
 
 def pallas_closest_with_row(wt: WorldTris, ro, rd, t_min=1e-3, t_max=T_MAX,
                             active=None, row_from_lane: int = 0):
-    """Closest hit + fused shade-row fetch: (t, idx, rowT (SHADE_K, R))."""
+    """Closest hit + fused shade-row fetch: (t, idx, rowT (SHADE_K, R)).
+
+    row_from_lane: lanes below this index skip the row fetch (their rowT
+    output stays zero) — used by the fused shadow+next sweep whose first R
+    lanes are shadow rays. Applied only when tile-aligned."""
     ro, rd = _v3_of(ro), _v3_of(rd)
     if active is None:
         active = jnp.ones(ro[0].shape[0], bool)
     return _run(wt, ro, rd, t_max, active, float(t_min), any_hit=False,
-                with_row=True)
+                with_row=True, row_from_lane=row_from_lane)
 
 
 def pallas_shadow(wt: WorldTris, ro, rd, t_max, t_min=1e-3, active=None):
