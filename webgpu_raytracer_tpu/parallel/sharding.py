@@ -19,7 +19,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.api import get_tracer
 from ..ops.trace import accumulate
@@ -61,7 +61,7 @@ def tile_sharded_step(mesh: Mesh, width: int, height: int, spp: int,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(AXIS)),
         out_specs=P(AXIS),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn, donate_argnums=(4,))
 
@@ -101,7 +101,7 @@ def tile_sample_sharded_step(mesh: Mesh, width: int, height: int,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(tile_axis)),
         out_specs=P(tile_axis),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn, donate_argnums=(4,))
 
@@ -135,6 +135,6 @@ def sample_sharded_step(mesh: Mesh, width: int, height: int, spp_total: int,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn, donate_argnums=(4,))
