@@ -87,6 +87,88 @@ def simple_quad_glb(animated: bool = True) -> bytes:
     return build_glb(doc, bin_data)
 
 
+def two_clip_skinned_glb() -> bytes:
+    """The skinned strip with TWO animation clips driving joint1: 'sway'
+    (+x translate) and 'lift' (+y translate) — exercises animation-clip
+    selection (set_animation; reference lib.rs active_anim_index + UIManager
+    anim select). Only skinned geometry observably responds to node
+    animation (the reference hard-codes non-env instance transforms,
+    lib.rs:196-204)."""
+    positions = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32)
+    joints = np.array(
+        [[0, 0, 0, 0], [0, 0, 0, 0], [1, 0, 0, 0], [1, 0, 0, 0]], np.uint16)
+    weights = np.array(
+        [[1, 0, 0, 0], [1, 0, 0, 0], [1, 0, 0, 0], [1, 0, 0, 0]], np.float32)
+    indices = np.array([0, 1, 3, 0, 3, 2], np.uint16)
+    ibm = np.stack([np.eye(4, dtype=np.float32),
+                    np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0],
+                              [0, -1, 0, 1]], np.float32)])
+    times = np.array([0.0, 1.0], np.float32)
+    sway = np.array([[0, 1, 0], [1, 1, 0]], np.float32)   # joint1 moves +x
+    lift = np.array([[0, 1, 0], [0, 2, 0]], np.float32)   # joint1 moves +y
+
+    blobs = [positions.tobytes(), joints.tobytes(), weights.tobytes(),
+             indices.tobytes(), ibm.tobytes(), times.tobytes(),
+             sway.tobytes(), lift.tobytes()]
+    offsets = []
+    off = 0
+    for b in blobs:
+        offsets.append(off)
+        off += len(b) + ((4 - len(b) % 4) % 4)
+    bin_data = b"".join(b + b"\x00" * ((4 - len(b) % 4) % 4) for b in blobs)
+
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0, 1]}],
+        "nodes": [
+            {"name": "root_joint", "children": [2]},
+            {"name": "mesh_node", "mesh": 0, "skin": 0},
+            {"name": "tip_joint", "translation": [0, 1, 0]},
+        ],
+        "buffers": [{"byteLength": len(bin_data)}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": offsets[0], "byteLength": 48},
+            {"buffer": 0, "byteOffset": offsets[1], "byteLength": 32},
+            {"buffer": 0, "byteOffset": offsets[2], "byteLength": 64},
+            {"buffer": 0, "byteOffset": offsets[3], "byteLength": 12},
+            {"buffer": 0, "byteOffset": offsets[4], "byteLength": 128},
+            {"buffer": 0, "byteOffset": offsets[5], "byteLength": 8},
+            {"buffer": 0, "byteOffset": offsets[6], "byteLength": 24},
+            {"buffer": 0, "byteOffset": offsets[7], "byteLength": 24},
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5123, "count": 4, "type": "VEC4"},
+            {"bufferView": 2, "componentType": 5126, "count": 4, "type": "VEC4"},
+            {"bufferView": 3, "componentType": 5123, "count": 6, "type": "SCALAR"},
+            {"bufferView": 4, "componentType": 5126, "count": 2, "type": "MAT4"},
+            {"bufferView": 5, "componentType": 5126, "count": 2, "type": "SCALAR"},
+            {"bufferView": 6, "componentType": 5126, "count": 2, "type": "VEC3"},
+            {"bufferView": 7, "componentType": 5126, "count": 2, "type": "VEC3"},
+        ],
+        "skins": [{"joints": [0, 2], "inverseBindMatrices": 4}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "JOINTS_0": 1, "WEIGHTS_0": 2},
+            "indices": 3,
+        }]}],
+        "animations": [
+            {"name": "sway",
+             "channels": [{"sampler": 0,
+                           "target": {"node": 2, "path": "translation"}}],
+             "samplers": [{"input": 5, "output": 6,
+                           "interpolation": "LINEAR"}]},
+            {"name": "lift",
+             "channels": [{"sampler": 0,
+                           "target": {"node": 2, "path": "translation"}}],
+             "samplers": [{"input": 5, "output": 7,
+                           "interpolation": "LINEAR"}]},
+        ],
+    }
+    return build_glb(doc, bin_data)
+
+
 def skinned_strip_glb() -> bytes:
     """A 2-bone skinned vertical strip: bottom bound to joint0 (root),
     top bound to joint1 which the animation rotates."""

@@ -48,9 +48,21 @@ def _make_renderer(args):
         fps=getattr(args, "fps", 30),
         duration=getattr(args, "duration", 3.0),
         spp=getattr(args, "spp", 64),
+        anim_index=getattr(args, "anim", 0),
+        update_interval=getattr(args, "update_interval", 4),
     )
-    return Renderer(args.scene, obj_source=obj_source, glb_data=glb_data,
-                    config=cfg)
+    r = Renderer(args.scene, obj_source=obj_source, glb_data=glb_data,
+                 config=cfg)
+    anim_glb = getattr(args, "anim_glb", None)
+    if anim_glb:
+        with open(anim_glb, "rb") as f:
+            if not r.load_animation_glb(f.read()):
+                raise SystemExit(f"no animations found in {anim_glb}")
+        r.set_animation(cfg.anim_index)
+        names = [r.world.animation_name(i)
+                 for i in range(r.world.animation_count())]
+        print(f"[anim] loaded clips from {anim_glb}: {names}")
+    return r
 
 
 def cmd_render(args):
@@ -63,9 +75,25 @@ def cmd_render(args):
     t_start = time.perf_counter()
     last_stats = t_start
     frame_ms = 0.0
+    animate = getattr(args, "animate", False)
+    interval = max(1, r.config.update_interval)
+    tick_fps = max(1, getattr(args, "fps", 30))
+    pending = None  # in-flight async scene update (main.ts renderFrame loop)
     for i in range(args.frames):
         t0 = time.perf_counter()
+        if animate and i % interval == 0 and pending is None:
+            # Kick the native scene tick asynchronously; it overlaps the
+            # device work below (reference main.ts:119-131).
+            pending = r.bridge.update_async(i / tick_fps)
+        if pending is not None and pending.done():
+            # hasNewData: re-upload dirty buffers + reset accumulation
+            # (reference main.ts:132-166).
+            r.bridge.wait()
+            r.reupload_scene(reset=True)
+            pending = None
         r.render_frame()
+        if animate:
+            r.present()  # advance TAA history every tick like the rAF loop
         np.asarray(r.accum)
         frame_ms = (time.perf_counter() - t0) * 1000
         now = time.perf_counter()
@@ -74,6 +102,8 @@ def cmd_render(args):
             print(f"[stats] fps={fps:.1f} ms={frame_ms:.1f} "
                   f"frames={r.frame_count}")
             last_stats = now
+    if pending is not None:
+        r.bridge.wait()
     img = r.present()
     Image.fromarray(img).save(args.output)
     total = time.perf_counter() - t_start
@@ -117,7 +147,7 @@ def cmd_serve(args):
                        max_depth=args.depth, shader_spp=args.shader_spp,
                        fps=args.fps, duration=args.duration, spp=args.spp,
                        scene_name=args.scene, job_batch=args.job_batch,
-                       file_type=file_type)
+                       anim_index=args.anim, file_type=file_type)
     coord.set_scene(cfg, args.scene, payload, file_type)
     total_frames = int(cfg.fps * cfg.duration)
     print(f"[serve] waiting for workers; {total_frames} frames queued "
@@ -141,8 +171,12 @@ def cmd_serve(args):
 def cmd_worker(args):
     from .parallel.cluster import WorkerClient
 
+    # One WorkerClient across reconnects: its session_id/session_token pair
+    # and buffered unsent results survive the connection drop, so the
+    # coordinator resumes the worker's identity and in-flight job (reference
+    # sessionStorage persistence, SignalingClient.ts:52-59, server.ts:240-289).
+    w = WorkerClient(args.host, args.port, secret=args.secret)
     while True:
-        w = WorkerClient(args.host, args.port, secret=args.secret)
         try:
             w.connect()
             print(f"[worker] connected as worker {w.worker_id}")
@@ -188,6 +222,10 @@ def build_parser():
         sp.add_argument("--height", type=int, default=480)
         sp.add_argument("--depth", type=int, default=10)
         sp.add_argument("--shader-spp", type=int, default=1, dest="shader_spp")
+        sp.add_argument("--anim", type=int, default=0,
+                        help="animation clip index (UI anim select analogue)")
+        sp.add_argument("--anim-glb", dest="anim_glb",
+                        help="merge animation clips from another .glb/.vrm")
         if record:
             sp.add_argument("--fps", type=int, default=30)
             sp.add_argument("--duration", type=float, default=3.0)
@@ -197,6 +235,14 @@ def build_parser():
     common(sp)
     sp.add_argument("--frames", type=int, default=64,
                     help="progressive frames to accumulate")
+    sp.add_argument("--animate", action="store_true",
+                    help="tick the scene every update-interval frames "
+                         "(the reference's interactive rAF loop)")
+    sp.add_argument("--fps", type=int, default=30,
+                    help="scene-time ticks per second when animating")
+    sp.add_argument("--update-interval", type=int, default=4,
+                    dest="update_interval",
+                    help="frames between scene ticks (config.ts default 4)")
     sp.add_argument("--output", default="render.png")
     sp.set_defaults(fn=cmd_render)
 

@@ -37,6 +37,7 @@ class RenderConfig:
     batch: int = DEFAULT_BATCH             # dispatches per GPU batch
     job_batch: int = DEFAULT_JOB_BATCH     # frames per distributed job
     anim_index: int = 0
+    update_interval: int = DEFAULT_UPDATE_INTERVAL  # scene tick cadence
     max_depth: int = DEFAULT_MAX_DEPTH     # static: triggers recompilation
     shader_spp: int = DEFAULT_SPP          # per-dispatch spp; static as well
     scene_name: str = "cornell"

@@ -140,32 +140,24 @@ class VideoRecorder:
             r.render_frame()
             r.present()
 
-        import threading
-
         # Host/device overlap (VideoRecorder.ts:183-227): the native update
-        # for frame k+1 runs on a worker thread (the C++ update releases the
-        # GIL) while the device renders frame k's samples.
-        next_update: Optional[threading.Thread] = None
-
-        def kick_update(t):
-            th = threading.Thread(target=r.world.update, args=(t,),
-                                  daemon=True)
-            th.start()
-            return th
-
+        # for frame k+1 runs through the WorldBridge's worker thread (the C++
+        # update releases the GIL) while the device renders frame k's samples.
+        pending = False
         for k in range(total):
             if abort.aborted:
                 break
             frame_idx = start_frame + k
             t = frame_idx / fps
 
-            if next_update is None:
+            if not pending:
                 r.world.update(t)  # bootstrap (first frame)
             else:
-                next_update.join()
+                r.bridge.wait()
             r.reupload_scene()  # upload this frame's buffers
             if k + 1 < total:
-                next_update = kick_update((frame_idx + 1) / fps)
+                r.bridge.update_async((frame_idx + 1) / fps)
+                pending = True
 
             batch = self._render_frame_samples(config.spp, batch)
             img = r.present()

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import RenderConfig
-from ..models.native import NativeWorld
+from ..models.bridge import WorldBridge
 from ..ops.api import choose_backend, get_tracer
 from ..ops.postprocess import postprocess
 from ..ops.trace import accumulate
@@ -71,7 +71,16 @@ class Renderer:
         self.max_depth = self.config.max_depth
         self.spp = self.config.shader_spp
 
-        self.world = NativeWorld(scene_name, obj_source, glb_data)
+        # The native scene compiler lives behind the async bridge so scene
+        # updates can overlap device work (reference src/world-bridge.ts).
+        self.bridge = WorldBridge(scene_name, obj_source, glb_data)
+        self.world = self.bridge.world
+        if 0 < self.config.anim_index < self.world.animation_count():
+            # Apply the configured clip before the first flatten (reference
+            # UIManager anim select -> set_animation, applied remotely at
+            # DistributedWorker.ts:190-200).
+            self.world.set_animation(self.config.anim_index)
+            self.world.update(0.0)
         self.world.update_camera(self.width, self.height)
         from ..utils.textures import decode_world_textures
 
@@ -131,6 +140,18 @@ class Renderer:
         """Tick the native scene compiler and re-upload flat buffers."""
         self.world.update(time)
         self.reupload_scene(reset=reset)
+
+    def set_animation(self, index: int, time: float = 0.0):
+        """Select the active animation clip and re-flatten the scene
+        (reference src/ui/UIManager.ts anim select -> World.set_animation)."""
+        self.world.set_animation(int(index))
+        self.config.anim_index = int(index)
+        self.update_scene(time)
+
+    def load_animation_glb(self, data: bytes) -> bool:
+        """Merge animation clips from another GLB (World.load_animation_glb,
+        reference rust-shader-tools/src/lib.rs:120-147)."""
+        return self.world.load_animation_glb(data)
 
     def reupload_scene(self, reset: bool = True):
         """Re-upload device tables from the (already updated) native world —
