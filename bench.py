@@ -1,16 +1,28 @@
-"""Benchmark: Mrays/sec/chip on the cornell preset (BASELINE metric).
+"""Benchmark: Mrays/sec/chip across the BASELINE configs.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per config; the HEADLINE (BASELINE config 2: cornell
+512x512 depth 8) is printed LAST in the driver's
+{"metric", "value", "unit", "vs_baseline"} contract.
 North-star baseline (BASELINE.md): 200 Mrays/sec/chip on TPU v5e.
 
-Ray accounting matches the conventional "rays cast" definition: primary rays
-+ bounce rays + NEE shadow rays actually traced per frame, estimated from the
-measured mean path statistics of the scene at the benchmark settings.
+Methodology (the tunneled "axon" chip makes naive timing dishonest in both
+directions):
+- Frames are CHAINED in one jitted lax.fori_loop and reduced to a scalar on
+  device, so the wall time contains no per-frame dispatch and only one tiny
+  host readback; the measured tunnel round-trip is subtracted.
+- Ray counts are EXACT: ray_color_dense counts primary + NEE shadow +
+  extension lanes actually traced (ops/dense_trace.py), measured for the
+  same frame sequence that is timed — no assumed path-decay model.
+- `--check` asserts the cornell mean radiance against the golden value so
+  every bench run on real hardware doubles as a correctness gate.
 """
 
 from __future__ import annotations
 
+import functools
 import json
+import subprocess
+import sys
 import time
 
 import jax
@@ -18,98 +30,173 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_MRAYS = 200.0
+REPEATS = 3  # best-of-N: the tunneled chip shows contention noise
 
-# Benchmark config: cornell 512x512, depth 8, 1 spp/dispatch (BASELINE cfg 2)
-W = H = 512
-SPP = 1
-DEPTH = 8
-WARMUP = 2
-ITERS = 8
-REPEATS = 3  # best-of-N: the tunneled chip shows ~±15% contention noise
+# Golden mean radiance for cornell 512x512 d8, frames 1..8 accumulated
+# (recorded from the oracle-validated build; MC tolerance ~2%).
+GOLDEN_CORNELL_MEAN = 0.3040
+GOLDEN_TOL = 0.02
 
-
-def measure_rays_per_sample(scene, camera):
-    """Estimate average rays traced per pixel sample (primary+bounce+shadow).
-
-    Uses a small instrumented render: mean number of completed bounces and
-    NEE shadow rays, measured at low resolution (the distribution is
-    resolution-independent for a fixed camera).
-    """
-    from webgpu_raytracer_tpu.ops.intersect import intersect_closest
-    from webgpu_raytracer_tpu.ops.trace import camera_unpack
-
-    # Conservative analytic estimate: each sample traces 1 primary ray; each
-    # live bounce adds 1 extension + 1 shadow ray. Measure live fractions.
-    import webgpu_raytracer_tpu.ops.trace as trace_mod
-
-    cam = camera_unpack(camera)
-    n = 64 * 64
-    lane = jnp.arange(n, dtype=jnp.uint32)
-    px = (lane % 64).astype(jnp.float32)
-    py = (lane // 64).astype(jnp.float32)
-    u = (px + 0.5) / 64
-    v = 1.0 - (py + 0.5) / 64
-    d = (cam["lower_left"][None, :] + u[:, None] * cam["horizontal"][None, :]
-         + v[:, None] * cam["vertical"][None, :] - cam["origin"][None, :])
-    ro = jnp.tile(cam["origin"][None, :], (n, 1))
-
-    # Depth-wise live fraction: survival after each bounce, approximated by
-    # rendering with increasing depth is costly; instead use the canonical
-    # cornell live-path statistics: ~85% primary hit, geometric decay ~0.75.
-    hit = intersect_closest(scene, ro, d)
-    p_hit = float(np.asarray(hit.inst_idx >= 0).mean())
-    decay = 0.75
-    live = p_hit
-    rays = 1.0  # primary
-    for _ in range(DEPTH):
-        rays += live  # shadow ray (NEE) for live lanes
-        rays += live  # extension ray
-        live *= decay
-    return rays
+# A gem-like convex OBJ standing in for the reference's bundled diamond.obj
+# (an asset we deliberately do not copy): icosahedron, BASELINE config 1.
+_PHI = (1 + 5 ** 0.5) / 2
+_ICO_V = [(-1, _PHI, 0), (1, _PHI, 0), (-1, -_PHI, 0), (1, -_PHI, 0),
+          (0, -1, _PHI), (0, 1, _PHI), (0, -1, -_PHI), (0, 1, -_PHI),
+          (_PHI, 0, -1), (_PHI, 0, 1), (-_PHI, 0, -1), (-_PHI, 0, 1)]
+_ICO_F = [(0, 11, 5), (0, 5, 1), (0, 1, 7), (0, 7, 10), (0, 10, 11),
+          (1, 5, 9), (5, 11, 4), (11, 10, 2), (10, 7, 6), (7, 1, 8),
+          (3, 9, 4), (3, 4, 2), (3, 2, 6), (3, 6, 8), (3, 8, 9),
+          (4, 9, 5), (2, 4, 11), (6, 2, 10), (8, 6, 7), (9, 8, 1)]
+GEM_OBJ = "".join(f"v {x} {y} {z}\n" for x, y, z in _ICO_V) + \
+    "".join(f"f {a+1} {b+1} {c+1}\n" for a, b, c in _ICO_F)
 
 
-def main():
+def tunnel_rt() -> float:
+    """Median round-trip of a tiny device->host readback (tunnel latency)."""
+    np.asarray(jnp.zeros(()) + 1.0)
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(jnp.zeros(()) + 1.0)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def build(scene_name, obj_source=None, glb_data=None, width=512, height=512):
     from webgpu_raytracer_tpu.models.native import NativeWorld
-    from webgpu_raytracer_tpu.ops.dense_trace import trace_pixels_dense
-    from webgpu_raytracer_tpu.ops.trace import accumulate
     from webgpu_raytracer_tpu.render.resources import build_device_scene
     from webgpu_raytracer_tpu.render.worldtris import build_world_tris
 
-    world = NativeWorld("cornell")
-    world.update_camera(W, H)
+    world = NativeWorld(scene_name, obj_source, glb_data)
+    world.update_camera(width, height)
     scene = build_device_scene(world)
     wt = build_world_tris(world)
     camera = jnp.asarray(world.camera())
+    return world, wt, scene, camera
 
-    @jax.jit
-    def step(wt, textures, camera, frame_count, accum):
-        col = trace_pixels_dense(wt, textures, camera, frame_count,
-                                 jnp.zeros(2, jnp.float32), W, H, SPP, DEPTH)
-        return accumulate(accum, col, frame_count)
 
-    accum = jnp.zeros((W * H, 4), jnp.float32)
-    fc = jnp.asarray(1, jnp.int32)
-    for i in range(WARMUP):
-        accum = step(wt, scene.textures, camera, fc + i, accum)
-    np.asarray(accum)  # full sync (block_until_ready is async on axon)
+@functools.partial(jax.jit,
+                   static_argnames=("width", "height", "spp", "depth", "n"))
+def _chained_frames(wt, tex, camera, *, width, height, spp, depth, n):
+    """n progressive frames chained on device; returns (mean-radiance sum,
+    exact total rays traced)."""
+    from webgpu_raytracer_tpu.ops.dense_trace import trace_pixels_dense
 
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        accum = step(wt, scene.textures, camera, fc + WARMUP + i, accum)
-    np.asarray(accum)  # full sync
-    dt = time.perf_counter() - t0
+    def body(i, acc):
+        s, rays = acc
+        col, r = trace_pixels_dense(
+            wt, tex, camera, i + 1, jnp.zeros(2, jnp.float32),
+            width, height, spp, depth, with_stats=True)
+        return s + col.mean(), rays + r
 
-    rays_per_sample = measure_rays_per_sample(scene, camera)
-    total_rays = W * H * SPP * ITERS * rays_per_sample
-    mrays = total_rays / dt / 1e6
+    return jax.lax.fori_loop(
+        0, n, body, (jnp.zeros(()), jnp.zeros(())))
 
-    print(json.dumps({
-        "metric": "cornell_512_d8_mrays_per_sec_per_chip",
-        "value": round(mrays, 2),
-        "unit": "Mrays/s",
-        "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
-    }))
+
+def measure(wt, scene, camera, width, height, spp, depth, n, rt):
+    run = lambda k: _chained_frames(wt, scene.textures, camera, width=width,
+                                    height=height, spp=spp, depth=depth, n=k)
+    s, rays = run(n)  # warm (compile)
+    rays_total = float(np.asarray(rays))
+    mean_rad = float(np.asarray(s)) / n
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        np.asarray(run(n)[0])
+        best = min(best, time.perf_counter() - t0)
+    dt = max(best - rt, 1e-6)
+    return rays_total / dt / 1e6, mean_rad, rays_total / n
+
+
+def emit(metric, value, unit, vs=None, **extra):
+    rec = {"metric": metric, "value": round(value, 2), "unit": unit}
+    if vs is not None:
+        rec["vs_baseline"] = round(vs, 3)
+    rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def main(argv):
+    check = "--check" in argv
+    quick = "--quick" in argv
+    rt = tunnel_rt()
+
+    # --- config 2 (HEADLINE): cornell 512x512 depth 8 ---
+    world, wt, scene, camera = build("cornell")
+    n = 8 if quick else 32
+    mrays_cornell, mean_rad, rays_pf = measure(
+        wt, scene, camera, 512, 512, 1, 8, n, rt)
+    if check:
+        err = abs(mean_rad - GOLDEN_CORNELL_MEAN) / GOLDEN_CORNELL_MEAN
+        assert err < GOLDEN_TOL, (
+            f"cornell mean radiance {mean_rad:.4f} deviates "
+            f"{err:.1%} from golden {GOLDEN_CORNELL_MEAN}")
+
+    if not quick:
+        # --- config 1: gem OBJ on the viewer pedestal, 256x256 d5 ---
+        _, wt1, sc1, cam1 = build("viewer", obj_source=GEM_OBJ,
+                                  width=256, height=256)
+        v, _, _ = measure(wt1, sc1, cam1, 256, 256, 1, 5, 32, rt)
+        emit("gem_obj_256_d5_mrays_per_sec_per_chip", v, "Mrays/s")
+
+        # --- config 3: textured GLB at 1080p d8 (texture-array sampling) ---
+        try:
+            from tests.glb_fixture import textured_quad_glb
+
+            _, wt3, sc3, cam3 = build("viewer",
+                                      glb_data=textured_quad_glb(),
+                                      width=1920, height=1080)
+            v, _, rpf = measure(wt3, sc3, cam3, 1920, 1080, 1, 8, 8, rt)
+            emit("textured_glb_1080p_d8_mrays_per_sec_per_chip", v,
+                 "Mrays/s", spp_per_sec_1080p=round(v * 1e6 / rpf, 2))
+        except Exception as e:  # keep the headline robust
+            emit("textured_glb_1080p_d8_mrays_per_sec_per_chip", -1.0,
+                 "Mrays/s", error=str(e)[:120])
+
+        # --- config 4: skinned animation, per-frame refit + reset, 512p ---
+        try:
+            from tests.glb_fixture import skinned_strip_glb
+
+            from webgpu_raytracer_tpu.render.renderer import Renderer
+            from webgpu_raytracer_tpu.config import RenderConfig
+
+            r = Renderer("viewer", glb_data=skinned_strip_glb(),
+                         config=RenderConfig(width=512, height=512,
+                                             max_depth=8, shader_spp=1))
+            r.update_scene(0.0)
+            r.render_frame()
+            np.asarray(r.accum)  # warm + sync
+            t0 = time.perf_counter()
+            nf = 8
+            for k in range(nf):
+                r.update_scene((k + 1) / 30.0)  # refit + reset
+                r.render_frame()
+            np.asarray(r.accum)
+            fps = nf / max(time.perf_counter() - t0 - rt, 1e-6)
+            emit("skinned_refit_512_d8_fps", fps, "frames/s")
+        except Exception as e:
+            emit("skinned_refit_512_d8_fps", -1.0, "frames/s",
+                 error=str(e)[:120])
+
+        # --- config 5: multichip layout (8-virtual-device dryrun) ---
+        try:
+            t0 = time.perf_counter()
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+                check=True, capture_output=True, timeout=1200,
+                cwd=__file__.rsplit("/", 1)[0])
+            emit("multichip_dryrun_8dev_wall", time.perf_counter() - t0,
+                 "s", ok=True)
+        except Exception as e:
+            emit("multichip_dryrun_8dev_wall", -1.0, "s", ok=False,
+                 error=str(e)[:120])
+
+    # headline LAST (the driver records the trailing JSON line)
+    emit("cornell_512_d8_mrays_per_sec_per_chip", mrays_cornell, "Mrays/s",
+         vs=mrays_cornell / BASELINE_MRAYS)
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main(sys.argv[1:]))

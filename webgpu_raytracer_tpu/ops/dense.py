@@ -26,24 +26,29 @@ T_MAX = 1e30
 
 def _chunks(wt: WorldTris):
     twp = wt.v0.shape[0]
-    n_chunks = twp // TRI_CHUNK if twp % TRI_CHUNK == 0 else twp // TRI_CHUNK + 1
+    # Small scenes are padded to sublane multiples (< 128): one exact-size
+    # chunk. Larger scenes are padded to 128-tile multiples.
+    chunk = twp if twp < TRI_CHUNK else TRI_CHUNK
+    assert twp % chunk == 0, (twp, chunk)
+    n_chunks = twp // chunk
     # features grouped [s0|s1|s2|tn|td], each group twp wide
     feats = wt.features.reshape(FEAT_K, 5, twp)
-    return feats, twp, n_chunks
+    return feats, twp, n_chunks, chunk
 
 
-def _chunk_result(rayf, feats, twp, k):
-    c0 = k * TRI_CHUNK
+def _chunk_result(rayf, feats, twp, k, chunk_size=TRI_CHUNK):
+    cs = chunk_size
+    c0 = k * cs
     chunk = jax.lax.dynamic_slice(
-        feats, (0, 0, c0), (FEAT_K, 5, TRI_CHUNK)
-    ).reshape(FEAT_K, 5 * TRI_CHUNK)
+        feats, (0, 0, c0), (FEAT_K, 5, cs)
+    ).reshape(FEAT_K, 5 * cs)
     res = jnp.dot(rayf, chunk, preferred_element_type=jnp.float32,
                   precision=jax.lax.Precision.HIGHEST)
-    s0 = res[:, 0 * TRI_CHUNK : 1 * TRI_CHUNK]
-    s1 = res[:, 1 * TRI_CHUNK : 2 * TRI_CHUNK]
-    s2 = res[:, 2 * TRI_CHUNK : 3 * TRI_CHUNK]
-    tn = res[:, 3 * TRI_CHUNK : 4 * TRI_CHUNK]
-    td = res[:, 4 * TRI_CHUNK : 5 * TRI_CHUNK]
+    s0 = res[:, 0 * cs : 1 * cs]
+    s1 = res[:, 1 * cs : 2 * cs]
+    s2 = res[:, 2 * cs : 3 * cs]
+    tn = res[:, 3 * cs : 4 * cs]
+    td = res[:, 4 * cs : 5 * cs]
     inside = (jnp.minimum(jnp.minimum(s0, s1), s2) >= 0.0) | (
         jnp.maximum(jnp.maximum(s0, s1), s2) <= 0.0
     )
@@ -67,22 +72,22 @@ def dense_closest(wt: WorldTris, ro, rd, t_min=1e-3, t_max=T_MAX, active=None):
     if active is None:
         active = jnp.ones(R, bool)
     rayf = ray_features(ro, rd)
-    feats, twp, n_chunks = _chunks(wt)
+    feats, twp, n_chunks, cs = _chunks(wt)
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
 
     def body(k, carry):
         best_t, best_i = carry
-        t, ok = _chunk_result(rayf, feats, twp, k)
+        t, ok = _chunk_result(rayf, feats, twp, k, cs)
         ok = ok & (t > t_min) & (t < t_max[:, None]) & active[:, None]
         # mask padded tail of the last chunk
-        col = k * TRI_CHUNK + jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        col = k * cs + jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
         ok = ok & (col < wt.valid_count)
         tm = jnp.where(ok, t, jnp.float32(T_MAX))
         carg = jnp.argmin(tm, axis=1)
         cmin = jnp.take_along_axis(tm, carg[:, None], axis=1)[:, 0]
         upd = cmin < best_t
         best_t = jnp.where(upd, cmin, best_t)
-        best_i = jnp.where(upd, k * TRI_CHUNK + carg.astype(jnp.int32), best_i)
+        best_i = jnp.where(upd, k * cs + carg.astype(jnp.int32), best_i)
         return best_t, best_i
 
     best_t = t_max
@@ -102,13 +107,13 @@ def dense_shadow(wt: WorldTris, ro, rd, t_max, t_min=1e-3, active=None):
     if active is None:
         active = jnp.ones(R, bool)
     rayf = ray_features(ro, rd)
-    feats, twp, n_chunks = _chunks(wt)
+    feats, twp, n_chunks, cs = _chunks(wt)
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
 
     def body(k, occ):
-        t, ok = _chunk_result(rayf, feats, twp, k)
+        t, ok = _chunk_result(rayf, feats, twp, k, cs)
         ok = ok & (t > t_min) & (t < t_max[:, None]) & active[:, None]
-        col = k * TRI_CHUNK + jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        col = k * cs + jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
         ok = ok & (col < wt.valid_count)
         return occ | jnp.any(ok, axis=1)
 

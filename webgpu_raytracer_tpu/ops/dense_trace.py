@@ -274,6 +274,9 @@ def _offset_eps(p: V3):
 
 def ray_color_dense(wt: WorldTris, textures, ro: V3, rd: V3, rng,
                     max_depth: int):
+    """Returns (radiance V3, rng, rays): `rays` is the EXACT number of rays
+    traced for this sample batch (primary + NEE shadow + extension lanes
+    actually swept) — the honest numerator for Mrays/s reporting."""
     R = ro.x.shape[0]
     f32 = jnp.float32
     zeros = jnp.zeros(R, f32)
@@ -292,6 +295,7 @@ def ray_color_dense(wt: WorldTris, textures, ro: V3, rd: V3, rng,
         prev_pdf: jnp.ndarray
         specular_bounce: jnp.ndarray
         hit: DenseHit
+        rays: jnp.ndarray  # () f32 — rays traced so far
 
     state = _S(
         active=active0,
@@ -303,6 +307,7 @@ def ray_color_dense(wt: WorldTris, textures, ro: V3, rd: V3, rng,
         prev_pdf=zeros,
         specular_bounce=jnp.ones(R, bool),
         hit=hit0,
+        rays=jnp.asarray(float(R), f32),  # primary rays
     )
 
     def body(depth, s: _S):
@@ -432,21 +437,25 @@ def ray_color_dense(wt: WorldTris, textures, ro: V3, rd: V3, rng,
             albedo=where(found, nhit.albedo, s.hit.albedo),
         )
 
+        rays = s.rays + nee_lane.sum(dtype=jnp.float32) \
+            + do_next.sum(dtype=jnp.float32)
         return _S(active, ro_next, rd_next, throughput, radiance, rng,
-                  prev_pdf, specular_bounce, hit)
+                  prev_pdf, specular_bounce, hit, rays)
 
     out = jax.lax.fori_loop(0, max_depth, body, state)
-    return out.radiance, out.rng
+    return out.radiance, out.rng, out.rays
 
 
 def trace_pixels_dense(wt: WorldTris, textures, camera24, frame_count, jitter,
                        width: int, height: int, spp: int, max_depth: int,
                        row0=0, full_height: int | None = None,
-                       total_spp: int | None = None, sample0=0):
+                       total_spp: int | None = None, sample0=0,
+                       with_stats: bool = False):
     """Dense-backend frame render; same signature semantics as
     ops.trace.trace_pixels (tile/sample sharding offsets included).
 
-    Returns (H*W, 3) radiance averaged over spp.
+    Returns (H*W, 3) radiance averaged over spp; with with_stats=True,
+    returns (radiance, rays) where rays is the exact count of rays traced.
     """
     if full_height is None:
         full_height = height
@@ -490,11 +499,15 @@ def trace_pixels_dense(wt: WorldTris, textures, camera24, frame_count, jitter,
             lower_left[2] + u * horizontal[2] + v * vertical[2] - cam[2],
         ) - off
         ro = origin + off
-        col, _ = ray_color_dense(wt, textures, ro, d, rng, max_depth)
-        ax, ay, az = acc
-        return (ax + col.x, ay + col.y, az + col.z)
+        col, _, rays = ray_color_dense(wt, textures, ro, d, rng, max_depth)
+        ax, ay, az, ar = acc
+        return (ax + col.x, ay + col.y, az + col.z, ar + rays)
 
     zero = jnp.zeros(R, jnp.float32)
-    cx, cy, cz = jax.lax.fori_loop(0, spp, one_sample, (zero, zero, zero))
+    cx, cy, cz, rays = jax.lax.fori_loop(
+        0, spp, one_sample, (zero, zero, zero, jnp.zeros((), jnp.float32)))
     inv = 1.0 / spp
-    return jnp.stack([cx * inv, cy * inv, cz * inv], axis=-1)
+    col = jnp.stack([cx * inv, cy * inv, cz * inv], axis=-1)
+    if with_stats:
+        return col, rays
+    return col

@@ -32,44 +32,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..render.worldtris import FEAT_K, SHADE_K, WorldTris
 
 M_TILE = 2048   # rays per tile (lanes)
-C_TILE = 128    # triangles per tile
+C_TILE = 128    # triangles per tile (large scenes)
 T_MAX = 1e30
 _HI = jax.lax.Precision.HIGHEST
-
-
-def _tiled_features_t(wt: WorldTris):
-    """(16, 5*Twp) grouped globally -> (n_tiles, 5*C, 16) per-tile transposed."""
-    twp = wt.v0.shape[0]
-    n_tiles = twp // C_TILE
-    f = wt.features.reshape(FEAT_K, 5, n_tiles, C_TILE)
-    return f.transpose(2, 1, 3, 0).reshape(n_tiles, 5 * C_TILE, FEAT_K), n_tiles
-
-
-def _tile_bounding_spheres(wt: WorldTris, n_tiles: int):
-    """Per-triangle-tile bounding spheres (n_tiles, 4): [cx, cy, cz, r].
-
-    World triangles arrive in BLAS-leaf order (spatially coherent), so a
-    C_TILE block's sphere is tight enough for culling. Padding tiles contain
-    only degenerate zero triangles; their radius collapses so the cull test
-    rejects every ray and the whole tile body is skipped.
-    """
-    # Padding rows are all-zero TRIANGLES (v0 = e1 = e2 = 0); exclude whole
-    # invalid triangles (never individual vertices — a real vertex at the
-    # origin must stay inside the bound).
-    tri_valid = (jnp.abs(wt.v0).sum(1) + jnp.abs(wt.e1).sum(1)
-                 + jnp.abs(wt.e2).sum(1)) > 0  # (Twp,)
-    pts = jnp.stack([wt.v0, wt.v0 + wt.e1, wt.v0 + wt.e2], axis=1)  # (Twp,3,3)
-    big = jnp.float32(3e38)
-    vmask = tri_valid[:, None, None]
-    lo = jnp.where(vmask, pts, big).reshape(n_tiles, 3 * C_TILE, 3).min(axis=1)
-    hi = jnp.where(vmask, pts, -big).reshape(n_tiles, 3 * C_TILE, 3).max(axis=1)
-    empty = lo[:, 0] > hi[:, 0]
-    center = jnp.where(empty[:, None], 0.0, (lo + hi) * 0.5)
-    r = jnp.where(empty, -1.0, jnp.linalg.norm(
-        jnp.where(empty[:, None], 0.0, hi - center), axis=1))
-    # lane-pad the minor dim to 128 (Mosaic block-shape requirement)
-    out = jnp.concatenate([center, r[:, None]], axis=1)
-    return jnp.pad(out, ((0, 0), (0, 124)))[:, None, :]  # (n_tiles, 1, 128)
 
 
 def _split2(x):
@@ -87,28 +52,17 @@ def _split2(x):
     return hi, lo
 
 
-def _split3(x):
-    """f32 -> (hi, mid, lo) bf16 triple: exact for any f32 (3x8 = 24 bits).
-
-    Barriers for the same reason as _split2: each bf16 round-trip must
-    survive XLA's excess-precision simplification or the residuals
-    collapse to zero under jit.
-    """
-    hi = x.astype(jnp.bfloat16)
-    r1 = x - jax.lax.optimization_barrier(hi).astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - jax.lax.optimization_barrier(mid).astype(jnp.float32)
-          ).astype(jnp.bfloat16)
-    return hi, mid, lo
-
-
 def _kernel(scalars_ref, featk3_ref, rayk3_ref, rayf_ref, tmax_ref,
-            sph_ref, shadek3_ref,
-            out_t_ref, out_i_ref, out_row_ref, *,
-            t_min: float, any_hit: bool, with_row: bool):
-    # scalars: [valid_tri_count, first_row_tile] — ray tiles below
-    # first_row_tile skip the shade-row fetch (the fused per-bounce call
-    # packs shadow lanes first; they never read rows).
+            sph_ref, shadek3_ref, *out_refs,
+            t_min: float, any_hit: bool, with_row: bool, c_tile: int):
+    # scalars: [valid_tri_count (unused; padding tris self-cull via td==0),
+    # first_row_tile] — ray tiles below first_row_tile skip the shade-row
+    # fetch (the fused per-bounce call packs shadow lanes first; they never
+    # read rows).
+    if with_row:
+        out_t_ref, out_i_ref, out_row_ref = out_refs
+    else:
+        out_t_ref, out_i_ref = out_refs
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -156,20 +110,22 @@ def _kernel(scalars_ref, featk3_ref, rayk3_ref, rayf_ref, tmax_ref,
         # in ONE pass at 3x the systolic K-utilization.
         resT = jnp.dot(featk3_ref[0], rayk3_ref[:],
                        preferred_element_type=jnp.float32)
-        s0 = resT[0 * C_TILE : 1 * C_TILE]
-        s1 = resT[1 * C_TILE : 2 * C_TILE]
-        s2 = resT[2 * C_TILE : 3 * C_TILE]
-        tn = resT[3 * C_TILE : 4 * C_TILE]
-        td = resT[4 * C_TILE : 5 * C_TILE]
+        s0 = resT[0 * c_tile : 1 * c_tile]
+        s1 = resT[1 * c_tile : 2 * c_tile]
+        s2 = resT[2 * c_tile : 3 * c_tile]
+        tn = resT[3 * c_tile : 4 * c_tile]
+        td = resT[4 * c_tile : 5 * c_tile]
 
         inside = (jnp.minimum(jnp.minimum(s0, s1), s2) >= 0.0) | (
             jnp.maximum(jnp.maximum(s0, s1), s2) <= 0.0
         )
+        # Padding/degenerate triangles self-cull here: their features are all
+        # zero so td == 0 fails the epsilon test — no valid-count compare.
         ok = inside & (jnp.abs(td) >= 1e-6)
         t = tn / jnp.where(ok, td, 1.0)
 
-        col = j * C_TILE + jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-        ok = ok & (col < scalars_ref[0]) & (t > t_min) & (t < tmax_ref[:])
+        col = j * c_tile + jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+        ok = ok & (t > t_min) & (t < tmax_ref[:])
 
         if any_hit:
             hit_any = jnp.max(ok.astype(jnp.float32), axis=0, keepdims=True)
@@ -230,18 +186,18 @@ def _run(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
         t_max = jnp.pad(t_max, (0, r_pad))
     rp = R + r_pad
 
-    featsT, n_tri_tiles = _tiled_features_t(wt)
-    spheres = _tile_bounding_spheres(wt, n_tri_tiles)  # (n_tiles, 4)
-    shadeT = wt.shade_table.T.reshape(SHADE_K, n_tri_tiles, C_TILE).transpose(
-        1, 0, 2)  # (n_tiles, SHADE_K, C)
+    # Scene-side operands (featk3 / spheres / shadek3) are precomputed per
+    # scene update in build_world_tris — building them in-jit cost ~1.5 ms of
+    # small-op dispatch PER SWEEP (measured on v5e, round 2).
+    featk3 = wt.featk3
+    spheres = wt.spheres
+    shadek3 = wt.shadek3
+    n_tri_tiles = featk3.shape[0]
+    c = featk3.shape[1] // 5
 
-    # Pre-split operands for the kernel's single-pass bf16x3 dots.
-    fh, fl = _split2(featsT)
-    featk3 = jnp.concatenate([fh, fh, fl], axis=2)   # (n_tiles, 5C, 3K)
+    # Ray-side operand: pre-split for the kernel's single-pass bf16x3 dot.
     rh, rl = _split2(rayfT)
     rayk3 = jnp.concatenate([rh, rl, rh], axis=0)    # (3K, Rp)
-    sh, sm, sl = _split3(shadeT)
-    shadek3 = jnp.concatenate([sh, sm, sl], axis=2)  # (n_tiles, SHADE_K, 3C)
 
     n_ray_tiles = rp // M_TILE
     first_row_tile = 0
@@ -250,44 +206,50 @@ def _run(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
     scalars = jnp.stack([wt.valid_count.astype(jnp.int32),
                          jnp.asarray(first_row_tile, jnp.int32)])
 
+    out_specs = [
+        pl.BlockSpec((1, M_TILE), lambda i, j, v: (0, i)),
+        pl.BlockSpec((1, M_TILE), lambda i, j, v: (0, i)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((1, rp), jnp.float32),
+        jax.ShapeDtypeStruct((1, rp), jnp.float32),
+    ]
+    if with_row:
+        out_specs.append(pl.BlockSpec((SHADE_K, M_TILE),
+                                      lambda i, j, v: (0, i)))
+        out_shape.append(jax.ShapeDtypeStruct((SHADE_K, rp), jnp.float32))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_ray_tiles, n_tri_tiles),
         in_specs=[
-            pl.BlockSpec((1, 5 * C_TILE, 3 * FEAT_K), lambda i, j, v: (j, 0, 0)),
+            pl.BlockSpec((1, 5 * c, 3 * FEAT_K), lambda i, j, v: (j, 0, 0)),
             pl.BlockSpec((3 * FEAT_K, M_TILE), lambda i, j, v: (0, i)),
             pl.BlockSpec((FEAT_K, M_TILE), lambda i, j, v: (0, i)),
             pl.BlockSpec((1, M_TILE), lambda i, j, v: (0, i)),
             pl.BlockSpec((1, 1, 128), lambda i, j, v: (j, 0, 0)),
-            pl.BlockSpec((1, SHADE_K, 3 * C_TILE), lambda i, j, v: (j, 0, 0)),
+            pl.BlockSpec((1, SHADE_K, 3 * c), lambda i, j, v: (j, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, M_TILE), lambda i, j, v: (0, i)),
-            pl.BlockSpec((1, M_TILE), lambda i, j, v: (0, i)),
-            pl.BlockSpec((SHADE_K, M_TILE), lambda i, j, v: (0, i)),
-        ],
+        out_specs=out_specs,
     )
 
-    out_t, out_i, out_row = pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(_kernel, t_min=t_min, any_hit=any_hit,
-                          with_row=with_row),
+                          with_row=with_row, c_tile=c),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((1, rp), jnp.float32),
-            jax.ShapeDtypeStruct((1, rp), jnp.float32),
-            jax.ShapeDtypeStruct((SHADE_K, rp), jnp.float32),
-        ],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
     )(scalars, featk3, rayk3, rayfT, t_max[None, :], spheres, shadek3)
 
+    out_t, out_i = outs[0], outs[1]
     if any_hit:
         return out_t[0, :R] > 0.0
     t = out_t[0, :R]
     idx = out_i[0, :R].astype(jnp.int32)
     if with_row:
-        return t, idx, out_row[:, :R]
+        return t, idx, outs[2][:, :R]
     return t, idx
 
 

@@ -85,12 +85,102 @@ class WorldTris(NamedTuple):
     # this directly instead of a light_wt -> shade_table double indirection.
     light_rows: jnp.ndarray
 
+    # --- Precomputed Pallas kernel operand tables (built once per scene
+    # update; building them inside the jitted sweep costs ~1.5 ms of
+    # small-op dispatch PER SWEEP on TPU — measured round 2) ---
+    # featk3: (n_tiles, 5C, 3*FEAT_K) bf16 — per-tile transposed Plucker
+    #   features pre-split into the bf16x3 hi/lo cross-term layout.
+    featk3: jnp.ndarray
+    # spheres: (n_tiles, 1, 128) f32 — per-tile bounding spheres (cull).
+    spheres: jnp.ndarray
+    # shadek3: (n_tiles, SHADE_K, 3C) bf16 — shade rows split [hi|mid|lo]
+    #   (exact: 3x8 mantissa bits cover f32) for the one-hot row fetch.
+    shadek3: jnp.ndarray
+
 
 def _round_up(n, m):
     return max(m, ((n + m - 1) // m) * m)
 
 
-def build_world_tris(world, pad_to: int = 128) -> WorldTris:
+def tri_tile_width(twp: int) -> int:
+    """Kernel triangle-tile width for a padded triangle count: single-tile
+    scenes use their exact (8-aligned) size; larger scenes use 128."""
+    c = twp if twp < 128 else 128
+    assert twp % c == 0, (twp, c)
+    return c
+
+
+def _np_bf16():
+    import ml_dtypes
+
+    return ml_dtypes.bfloat16
+
+
+def _np_split2(x):
+    """f32 -> (hi, lo) bf16 pair (host-side mirror of pallas_dense._split2)."""
+    bf16 = _np_bf16()
+    hi = x.astype(bf16)
+    lo = (x - hi.astype(np.float32)).astype(bf16)
+    return hi, lo
+
+
+def _np_split3(x):
+    """f32 -> (hi, mid, lo) bf16 triple — exact (3x8 mantissa bits)."""
+    bf16 = _np_bf16()
+    hi = x.astype(bf16)
+    r1 = x - hi.astype(np.float32)
+    mid = r1.astype(bf16)
+    lo = (r1 - mid.astype(np.float32)).astype(bf16)
+    return hi, mid, lo
+
+
+def _np_tile_spheres(v0, e1, e2, n_tiles):
+    """Per-triangle-tile bounding spheres (n_tiles, 1, 128): [cx,cy,cz,r,0..].
+
+    World triangles arrive in BLAS-leaf order (spatially coherent) so a
+    tile's sphere is tight enough for culling; all-padding tiles get r = -1
+    so the kernel skips them entirely."""
+    tri_valid = (np.abs(v0).sum(1) + np.abs(e1).sum(1)
+                 + np.abs(e2).sum(1)) > 0
+    pts = np.stack([v0, v0 + e1, v0 + e2], axis=1)  # (Twp, 3, 3)
+    big = np.float32(3e38)
+    vmask = tri_valid[:, None, None]
+    lo = np.where(vmask, pts, big).reshape(n_tiles, -1, 3).min(axis=1)
+    hi = np.where(vmask, pts, -big).reshape(n_tiles, -1, 3).max(axis=1)
+    empty = lo[:, 0] > hi[:, 0]
+    center = np.where(empty[:, None], 0.0, (lo + hi) * 0.5)
+    r = np.where(empty, -1.0, np.linalg.norm(
+        np.where(empty[:, None], 0.0, hi - center), axis=1))
+    out = np.concatenate([center, r[:, None]], axis=1).astype(np.float32)
+    return np.pad(out, ((0, 0), (0, 124)))[:, None, :]
+
+
+def _np_kernel_tables(features, shade, v0, e1, e2):
+    """Precompute the Pallas sweep's scene-side operands (numpy, per scene
+    update). Doing this host-side keeps ~1.5 ms of small-op dispatch out of
+    every in-jit sweep call (9+ sweeps per frame)."""
+    twp = v0.shape[0]
+    c = tri_tile_width(twp)
+    n_tiles = twp // c
+    featsT = features.reshape(FEAT_K, 5, n_tiles, c).transpose(
+        2, 1, 3, 0).reshape(n_tiles, 5 * c, FEAT_K)
+    fh, fl = _np_split2(featsT)
+    featk3 = np.concatenate([fh, fh, fl], axis=2)    # (n_tiles, 5C, 3K)
+    spheres = _np_tile_spheres(v0, e1, e2, n_tiles)  # (n_tiles, 1, 128)
+    shadeT = shade.T.reshape(SHADE_K, n_tiles, c).transpose(1, 0, 2)
+    sh, sm, sl = _np_split3(shadeT)
+    shadek3 = np.concatenate([sh, sm, sl], axis=2)   # (n_tiles, SHADE_K, 3C)
+    return featk3, spheres, shadek3
+
+
+def tri_pad(tw: int) -> int:
+    """Padded world-triangle count: small scenes pad to a multiple of 8 (one
+    sublane-sized kernel tile — a 36-tri cornell pays for 40 tris, not 128);
+    larger scenes pad to full 128-wide tiles."""
+    return _round_up(tw, 8) if tw <= 128 else _round_up(tw, 128)
+
+
+def build_world_tris(world, pad_to: int | None = None) -> WorldTris:
     """Flatten all instances' triangles to world space (numpy, per update)."""
     topo = np.asarray(world.topology(), np.uint32).reshape(-1, 20)
     tri_v = topo[:, 0:3].astype(np.int64)
@@ -163,7 +253,7 @@ def build_world_tris(world, pad_to: int = 128) -> WorldTris:
     wt_inst = np.concatenate([c[10] for c in chunks])
 
     tw = v0.shape[0]
-    tw_pad = _round_up(tw, pad_to)
+    tw_pad = _round_up(tw, pad_to) if pad_to else tri_pad(tw)
     pad = tw_pad - tw
 
     def padf(a, fill=0.0):
@@ -221,6 +311,8 @@ def build_world_tris(world, pad_to: int = 128) -> WorldTris:
     lw_padded[: len(lw)] = lw
     light_rows = shade[np.clip(lw_padded, 0, shade.shape[0] - 1)]
 
+    featk3, spheres, shadek3 = _np_kernel_tables(features, shade, v0, e1, e2)
+
     return WorldTris(
         features=jnp.asarray(features),
         v0=jnp.asarray(v0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
@@ -238,6 +330,9 @@ def build_world_tris(world, pad_to: int = 128) -> WorldTris:
         valid_count=jnp.asarray(tw, jnp.int32),
         shade_table=jnp.asarray(shade),
         light_rows=jnp.asarray(light_rows),
+        featk3=jnp.asarray(featk3),
+        spheres=jnp.asarray(spheres),
+        shadek3=jnp.asarray(shadek3),
     )
 
 
