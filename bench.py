@@ -139,6 +139,17 @@ def main(argv):
         v, _, _ = measure(wt1, sc1, cam1, 256, 256, 1, 5, 32, rt)
         emit("gem_obj_256_d5_mrays_per_sec_per_chip", v, "Mrays/s")
 
+        # --- large scene: spheres preset (257k tris) via the two-level
+        # culled sweep (ops/pallas_dense._run2 + coherence sort) ---
+        try:
+            _, wts, scs, cams = build("spheres")
+            v, _, rpf = measure(wts, scs, cams, 512, 512, 1, 8, 4, rt)
+            emit("spheres_257k_512_d8_mrays_per_sec_per_chip", v, "Mrays/s",
+                 ms_per_frame=round(rpf / max(v, 1e-9) / 1e3, 1))
+        except Exception as e:
+            emit("spheres_257k_512_d8_mrays_per_sec_per_chip", -1.0,
+                 "Mrays/s", error=str(e)[:120])
+
         # --- config 3: textured GLB at 1080p d8 (texture-array sampling) ---
         try:
             from tests.glb_fixture import textured_quad_glb

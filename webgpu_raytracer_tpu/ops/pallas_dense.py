@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..render.worldtris import FEAT_K, SHADE_K, WorldTris
+from ..render.worldtris import FEAT_K, SHADE_K, SHADE_KP, WorldTris
 
 M_TILE = 2048   # rays per tile (lanes)
 C_TILE = 128    # triangles per tile (large scenes)
@@ -108,8 +108,10 @@ def _kernel(scalars_ref, featk3_ref, rayk3_ref, rayf_ref, tmax_ref,
         # in-kernel splitting compiles pathologically slowly in Mosaic) —
         # ~f32 accuracy (error ~2^-16 relative, validated vs the f64 oracle)
         # in ONE pass at 3x the systolic K-utilization.
-        resT = jnp.dot(featk3_ref[0], rayk3_ref[:],
-                       preferred_element_type=jnp.float32)
+        resT = jax.lax.dot_general(
+            featk3_ref[0], rayk3_ref[:],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         s0 = resT[0 * c_tile : 1 * c_tile]
         s1 = resT[1 * c_tile : 2 * c_tile]
         s2 = resT[2 * c_tile : 3 * c_tile]
@@ -155,7 +157,8 @@ def _kernel(scalars_ref, featk3_ref, rayk3_ref, rayf_ref, tmax_ref,
                 oh3 = jnp.concatenate([oh, oh, oh], axis=0)         # (3C, M)
                 rowT_new = jnp.dot(shadek3_ref[0], oh3,
                                    preferred_element_type=jnp.float32)
-                out_row_ref[:] = jnp.where(upd, rowT_new, out_row_ref[:])
+                out_row_ref[:] = jnp.where(upd, rowT_new[:SHADE_K],
+                                           out_row_ref[:])
 
 
 def rayf_from_components(rox, roy, roz, rdx, rdy, rdz):
@@ -173,6 +176,10 @@ def rayf_from_components(rox, roy, roz, rdx, rdy, rdz):
 def _run(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
          with_row: bool, row_from_lane: int = 0):
     """ro, rd are V3 components; t_max/active (R,). Returns transposed outs."""
+    if wt.featk3.shape[0] > 1:
+        # Multi-tile scene: the two-level culled sweep.
+        return _run2(wt, ro, rd, t_max, active, t_min, any_hit, with_row,
+                     row_from_lane)
     rox, roy, roz = ro
     rdx, rdy, rdz = rd
     R = rox.shape[0]
@@ -193,7 +200,7 @@ def _run(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
     spheres = wt.spheres
     shadek3 = wt.shadek3
     n_tri_tiles = featk3.shape[0]
-    c = featk3.shape[1] // 5
+    c = featk3.shape[2] // 5
 
     # Ray-side operand: pre-split for the kernel's single-pass bf16x3 dot.
     rh, rl = _split2(rayfT)
@@ -223,12 +230,12 @@ def _run(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
         num_scalar_prefetch=1,
         grid=(n_ray_tiles, n_tri_tiles),
         in_specs=[
-            pl.BlockSpec((1, 5 * c, 3 * FEAT_K), lambda i, j, v: (j, 0, 0)),
+            pl.BlockSpec((1, 3 * FEAT_K, 5 * c), lambda i, j, v: (j, 0, 0)),
             pl.BlockSpec((3 * FEAT_K, M_TILE), lambda i, j, v: (0, i)),
             pl.BlockSpec((FEAT_K, M_TILE), lambda i, j, v: (0, i)),
             pl.BlockSpec((1, M_TILE), lambda i, j, v: (0, i)),
             pl.BlockSpec((1, 1, 128), lambda i, j, v: (j, 0, 0)),
-            pl.BlockSpec((1, SHADE_K, 3 * c), lambda i, j, v: (j, 0, 0)),
+            pl.BlockSpec((1, SHADE_KP, 3 * c), lambda i, j, v: (j, 0, 0)),
         ],
         out_specs=out_specs,
     )
@@ -251,6 +258,331 @@ def _run(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
     if with_row:
         return t, idx, outs[2][:, :R]
     return t, idx
+
+
+# ---------------------------------------------------------------------------
+# Two-level sweep for multi-tile scenes: per ray tile, loop over only the
+# clusters surviving the tile-cone cull (ops/cluster_cull.py), streaming
+# their operand blocks HBM->VMEM with double-buffered manual DMA.
+# ---------------------------------------------------------------------------
+
+M_TILE2 = 1024  # rays per tile for the two-level path (tighter cull cones)
+
+
+def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, rayf_ref, tmax_ref,
+             sph_ref, featk3_hbm, shadek3_hbm, *refs,
+             t_min: float, any_hit: bool, with_row: bool, c_tile: int):
+    # scal: [first_row_tile, count_0, count_1, ...]
+    # surv: (1, 1, Ctp) SMEM — sorted surviving cluster ids for this tile
+    # dist: (1, 1, Ctp) SMEM — matching sorted min-reach keys (monotone)
+    if with_row:
+        out_t_ref, out_i_ref, out_row_ref = refs[:3]
+        feat_buf, shade_buf, semf, sems = refs[3:]
+    else:
+        out_t_ref, out_i_ref = refs[:2]
+        feat_buf, shade_buf, semf, sems = refs[2:]
+    i = pl.program_id(0)
+    count = scal_ref[1 + i]
+    row_on = scal_ref[0] <= i
+
+    if any_hit:
+        out_t_ref[:] = jnp.zeros_like(out_t_ref)
+    else:
+        out_t_ref[:] = tmax_ref[:]
+    out_i_ref[:] = jnp.full_like(out_i_ref, -1.0)
+    if with_row:
+        # Rows SHADE_K / SHADE_K+1 mirror the t / idx accumulators so the
+        # epilogue recovers everything with ONE row-major gather.
+        out_row_ref[:] = jnp.zeros_like(out_row_ref)
+        out_row_ref[SHADE_K:SHADE_K + 1, :] = out_t_ref[:]
+        out_row_ref[SHADE_K + 1:SHADE_K + 2, :] = out_i_ref[:]
+
+    def dma_feat(k, slot):
+        cidx = surv_ref[0, 0, k]
+        return pltpu.make_async_copy(featk3_hbm.at[cidx], feat_buf.at[slot],
+                                     semf.at[slot])
+
+    def dma_shade(k, slot):
+        cidx = surv_ref[0, 0, k]
+        return pltpu.make_async_copy(shadek3_hbm.at[cidx], shade_buf.at[slot],
+                                     sems.at[slot])
+
+    def lane_tmax():
+        if any_hit:
+            return jnp.where(out_t_ref[:] > 0.0, 0.0, tmax_ref[:])
+        return jnp.minimum(tmax_ref[:], out_t_ref[:])
+
+    def cull(k):
+        """Per-lane sphere test for sorted-survivor k; True if any lane's
+        open interval can touch the cluster — gates both the DMA and the
+        matmul, so skipped clusters cost only this test."""
+        cidx = surv_ref[0, 0, k]
+        sph = sph_ref[pl.ds(cidx, 1), :]  # (1, 128) [cx, cy, cz, r, ...]
+        cx, cy, cz, r = sph[0, 0], sph[0, 1], sph[0, 2], sph[0, 3]
+        dx, dy, dz = rayf_ref[0:1, :], rayf_ref[1:2, :], rayf_ref[2:3, :]
+        ocx = rayf_ref[6:7, :] - cx
+        ocy = rayf_ref[7:8, :] - cy
+        ocz = rayf_ref[8:9, :] - cz
+        b = dx * ocx + dy * ocy + dz * ocz
+        dd = dx * dx + dy * dy + dz * dz
+        cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = b * b - dd * cc
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        lt = lane_tmax()
+        possible = (disc >= 0.0) & (lt > 0.0) \
+            & (-b + sq >= dd * t_min) & (-b - sq <= dd * lt)
+        return jnp.max(possible.astype(jnp.float32)) > 0.0
+
+    p0 = (count > 0) & cull(0)
+
+    @pl.when(p0)
+    def _start():
+        dma_feat(0, 0).start()
+        if with_row:
+            dma_shade(0, 0).start()
+
+    def process(k, slot):
+        """Intersect the (already DMA'd) cluster k against the ray tile."""
+        dma_feat(k, slot).wait()
+        if with_row:
+            dma_shade(k, slot).wait()
+        cidx = surv_ref[0, 0, k]
+        if True:
+            resT = jax.lax.dot_general(
+                feat_buf[slot], rayk3_ref[:],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s0 = resT[0 * c_tile: 1 * c_tile]
+            s1 = resT[1 * c_tile: 2 * c_tile]
+            s2 = resT[2 * c_tile: 3 * c_tile]
+            tn = resT[3 * c_tile: 4 * c_tile]
+            td = resT[4 * c_tile: 5 * c_tile]
+            inside = (jnp.minimum(jnp.minimum(s0, s1), s2) >= 0.0) | (
+                jnp.maximum(jnp.maximum(s0, s1), s2) <= 0.0
+            )
+            ok = inside & (jnp.abs(td) >= 1e-6)
+            t = tn / jnp.where(ok, td, 1.0)
+            col = cidx * c_tile + jax.lax.broadcasted_iota(
+                jnp.int32, t.shape, 0)
+            ok = ok & (t > t_min) & (t < tmax_ref[:])
+
+            if any_hit:
+                hit_any = jnp.max(ok.astype(jnp.float32), axis=0,
+                                  keepdims=True)
+                out_t_ref[:] = jnp.maximum(out_t_ref[:], hit_any)
+                return
+            tm = jnp.where(ok, t, jnp.float32(T_MAX))
+            cur_min = jnp.min(tm, axis=0, keepdims=True)
+            cur_idx = jnp.min(
+                jnp.where(tm <= cur_min, col, jnp.int32(2 ** 30)), axis=0,
+                keepdims=True)
+            upd = cur_min < out_t_ref[:]
+            out_t_ref[:] = jnp.where(upd, cur_min, out_t_ref[:])
+            out_i_ref[:] = jnp.where(upd, cur_idx.astype(jnp.float32),
+                                     out_i_ref[:])
+            if with_row:
+                out_row_ref[SHADE_K:SHADE_K + 1, :] = out_t_ref[:]
+                out_row_ref[SHADE_K + 1:SHADE_K + 2, :] = out_i_ref[:]
+
+                @pl.when(row_on)
+                def _fetch_row():
+                    oh = ((col == cur_idx) & upd).astype(jnp.bfloat16)
+                    oh3 = jnp.concatenate([oh, oh, oh], axis=0)
+                    rowT_new = jnp.dot(shade_buf[slot], oh3,
+                                       preferred_element_type=jnp.float32)
+                    out_row_ref[0:SHADE_K, :] = jnp.where(
+                        upd, rowT_new[:SHADE_K], out_row_ref[0:SHADE_K, :])
+
+    # Per-lane |d|: t-units -> world units for the reach-key comparison
+    # (primary camera rays are unnormalized, |d| ~ focus_dist).
+    dlen = jnp.sqrt(rayf_ref[0:1, :] ** 2 + rayf_ref[1:2, :] ** 2
+                    + rayf_ref[2:3, :] ** 2)
+
+    # Software-pipelined survivor loop: while processing cluster k, decide
+    # (cull + DMA-start) cluster k+1, and terminate the whole loop once the
+    # next sorted min-reach key (world units) exceeds every lane's open
+    # interval.
+    def cond(carry):
+        k, started_k, stop = carry
+        return jnp.logical_not(stop)
+
+    def body(carry):
+        k, started_k, _ = carry
+        maxt = jnp.max(lane_tmax() * dlen)
+        in_range = k + 1 < count
+        k1 = jnp.minimum(k + 1, surv_ref.shape[2] - 1)  # clamp for the read
+        reach = dist_ref[0, 0, k1] <= maxt
+        nxt = in_range & reach & cull(k1)
+
+        @pl.when(nxt)
+        def _next():
+            dma_feat(k + 1, jax.lax.rem(k + 1, 2)).start()
+            if with_row:
+                dma_shade(k + 1, jax.lax.rem(k + 1, 2)).start()
+
+        @pl.when(started_k)
+        def _proc():
+            process(k, jax.lax.rem(k, 2))
+
+        # Sorted keys: once k+1 is unreachable, so is everything after it.
+        stop = jnp.logical_not(in_range & reach)
+        return (k + 1, nxt, stop)
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), p0,
+                                    jnp.logical_not(count > 0)))
+
+
+def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
+          with_row: bool, row_from_lane: int = 0, interpret: bool = False):
+    """Two-level sweep: cull clusters per ray tile, then loop survivors."""
+    from .cluster_cull import tile_cluster_worklist
+
+    rox, roy, roz = ro
+    rdx, rdy, rdz = rd
+    R = rox.shape[0]
+    ones = jnp.ones((R,), jnp.float32)
+    rox, roy, roz = rox * ones, roy * ones, roz * ones
+    rdx, rdy, rdz = rdx * ones, rdy * ones, rdz * ones
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+    t_max = jnp.where(active, t_max, 0.0)
+
+    r_pad = (-R) % M_TILE2
+    if r_pad:
+        rox, roy, roz, rdx, rdy, rdz, t_max = (
+            jnp.pad(x, (0, r_pad))
+            for x in (rox, roy, roz, rdx, rdy, rdz, t_max))
+    rp = R + r_pad
+
+    featk3 = wt.featk3                    # (Ct, 5C, 3K) bf16 — stays in HBM
+    shadek3 = wt.shadek3                  # (Ct, SHADE_K, 3C) bf16 — HBM
+    sph_flat = wt.spheres[:, 0, :]        # (Ct, 128) f32
+    n_clusters = featk3.shape[0]
+    c = featk3.shape[2] // 5
+
+    first_row_tile = 0
+    if with_row and row_from_lane and row_from_lane % M_TILE2 == 0:
+        first_row_tile = row_from_lane // M_TILE2
+
+    # --- Coherence sort (the wavefront reorder). Tile-granular cone culling
+    # is useless on incoherent bounce rays (measured on `spheres`: 2009/2009
+    # clusters survive random directions), so permute lanes so each M_TILE2
+    # tile shares a direction octant + origin cell; the tile cone then prunes
+    # most clusters. Dead lanes (t_max==0) sort to the segment end, turning
+    # whole tiles dead (count==0 -> kernel skips them): per-bounce ray
+    # compaction for free. The two fused segments (shadow | closest rays,
+    # split at row_from_lane) sort independently so the row-fetch tile split
+    # stays aligned. Data movement: argsort (0.5 ms at 512k) + ROW-MAJOR
+    # row gathers — an (R, 8) row gather is ~11 ms where 7 separate (R,)
+    # column gathers cost ~43 ms, and multi-operand lax.sort (runtime-free)
+    # is ruled out by its comparator compile cost (~220 s for 43 operands).
+    live = sph_flat[:, 3] >= 0.0
+    smin = jnp.min(jnp.where(live[:, None], sph_flat[:, 0:3]
+                             - sph_flat[:, 3:4], jnp.float32(3e38)), axis=0)
+    sext = jnp.maximum(
+        jnp.max(jnp.where(live[:, None], sph_flat[:, 0:3] + sph_flat[:, 3:4],
+                          jnp.float32(-3e38)), axis=0) - smin, 1e-20)
+    key = jnp.zeros((rp,), jnp.int32)
+    octant = jnp.zeros((rp,), jnp.int32)
+    for a, (o_c, d_c) in enumerate(((rox, rdx), (roy, rdy), (roz, rdz))):
+        q = jnp.clip(((o_c - smin[a]) / sext[a] * 8.0)
+                     .astype(jnp.int32), 0, 7)
+        key = key * 8 + q
+        octant = octant * 2 + (d_c < 0.0).astype(jnp.int32)
+    key = octant * 512 + key
+    key = jnp.where(t_max > 0.0, key, jnp.int32(1 << 13))
+    seg_start = first_row_tile * M_TILE2
+    seg = (jnp.arange(rp, dtype=jnp.int32) >= seg_start).astype(jnp.int32)
+    perm = jnp.argsort(key + seg * (1 << 14))
+    inv_perm = jnp.argsort(perm)
+    comps = jnp.stack([rox, roy, roz, rdx, rdy, rdz, t_max,
+                       jnp.zeros_like(t_max)], axis=1)      # (rp, 8)
+    sortedT = comps[perm, :].T                              # (8, rp)
+    rox, roy, roz = sortedT[0], sortedT[1], sortedT[2]
+    rdx, rdy, rdz = sortedT[3], sortedT[4], sortedT[5]
+    t_max = sortedT[6]
+    rayfT = rayf_from_components(rox, roy, roz, rdx, rdy, rdz)
+
+    rh, rl = _split2(rayfT)
+    rayk3 = jnp.concatenate([rh, rl, rh], axis=0)
+
+    order, keys, counts = tile_cluster_worklist(rayfT, t_max, sph_flat,
+                                                M_TILE2)
+    ct_pad = (-n_clusters) % 128
+    if ct_pad:
+        order = jnp.pad(order, ((0, 0), (0, ct_pad)))
+        keys = jnp.pad(keys, ((0, 0), (0, ct_pad)),
+                       constant_values=jnp.float32(3e38))
+    order = order[:, None, :]  # (T, 1, Ctp) — Mosaic block-shape friendly
+    keys = keys[:, None, :]
+
+    n_ray_tiles = rp // M_TILE2
+    scal = jnp.concatenate([
+        jnp.asarray([first_row_tile], jnp.int32), counts])
+
+    out_specs = [
+        pl.BlockSpec((1, M_TILE2), lambda i, v: (0, i)),
+        pl.BlockSpec((1, M_TILE2), lambda i, v: (0, i)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((1, rp), jnp.float32),
+        jax.ShapeDtypeStruct((1, rp), jnp.float32),
+    ]
+    if with_row:
+        # SHADE_KP rows: 0:SHADE_K = winner shade rows, SHADE_K / SHADE_K+1
+        # mirror t / idx so ONE row-major gather un-permutes everything.
+        out_specs.append(pl.BlockSpec((SHADE_KP, M_TILE2),
+                                      lambda i, v: (0, i)))
+        out_shape.append(jax.ShapeDtypeStruct((SHADE_KP, rp), jnp.float32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_ray_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, order.shape[2]), lambda i, v: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, order.shape[2]), lambda i, v: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((3 * FEAT_K, M_TILE2), lambda i, v: (0, i)),
+            pl.BlockSpec((FEAT_K, M_TILE2), lambda i, v: (0, i)),
+            pl.BlockSpec((1, M_TILE2), lambda i, v: (0, i)),
+            # full cluster-sphere table resident in VMEM (Ct x 128 f32)
+            pl.BlockSpec((n_clusters, 128), lambda i, v: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # featk3 (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # shadek3 (HBM)
+        ],
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((2, 3 * FEAT_K, 5 * c), jnp.bfloat16),
+            pltpu.VMEM((2, SHADE_KP, 3 * c), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    outs = pl.pallas_call(
+        functools.partial(_kernel2, t_min=t_min, any_hit=any_hit,
+                          with_row=with_row, c_tile=c),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(scal, order, keys, rayk3, rayfT, t_max[None, :], sph_flat, featk3,
+      shadek3)
+
+    # Un-permute: with_row recovers rows + t + idx with ONE (R, SHADE_KP)
+    # row-major gather; the slim paths use single-vector gathers.
+    out_t, out_i = outs[0], outs[1]
+    if any_hit:
+        return out_t[0, inv_perm[:R]] > 0.0
+    if with_row:
+        backT = outs[2].T[inv_perm[:R], :].T        # (SHADE_KP, R)
+        t = backT[SHADE_K]
+        idx = backT[SHADE_K + 1].astype(jnp.int32)
+        return t, idx, backT[:SHADE_K]
+    inv = inv_perm[:R]
+    return out_t[0, inv], out_i[0, inv].astype(jnp.int32)
 
 
 def _v3_of(arr):

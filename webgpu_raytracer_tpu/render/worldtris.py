@@ -40,6 +40,7 @@ SHADE_COLS = dict(
     tex=(31, 35), emissive=(35, 38), tri_idx=(38, 39), inst_idx=(39, 40),
 )
 SHADE_K = 40
+SHADE_KP = 48  # shade rows padded to a bf16 sublane multiple for DMA tiling
 
 
 class WorldTris(NamedTuple):
@@ -158,18 +159,27 @@ def _np_tile_spheres(v0, e1, e2, n_tiles):
 def _np_kernel_tables(features, shade, v0, e1, e2):
     """Precompute the Pallas sweep's scene-side operands (numpy, per scene
     update). Doing this host-side keeps ~1.5 ms of small-op dispatch out of
-    every in-jit sweep call (9+ sweeps per frame)."""
+    every in-jit sweep call (9+ sweeps per frame).
+
+    Layouts are DMA-tileable (the two-level kernel streams per-cluster
+    blocks HBM->VMEM): featk3 keeps 5C on the 128-aligned minor dim (the
+    kernel contracts over the leading 3K dim), shadek3 rows are padded to
+    SHADE_KP (bf16 sublane multiple of 16)."""
     twp = v0.shape[0]
     c = tri_tile_width(twp)
     n_tiles = twp // c
-    featsT = features.reshape(FEAT_K, 5, n_tiles, c).transpose(
-        2, 1, 3, 0).reshape(n_tiles, 5 * c, FEAT_K)
-    fh, fl = _np_split2(featsT)
-    featk3 = np.concatenate([fh, fh, fl], axis=2)    # (n_tiles, 5C, 3K)
+    feats = features.reshape(FEAT_K, 5, n_tiles, c).transpose(
+        2, 0, 1, 3).reshape(n_tiles, FEAT_K, 5 * c)
+    fh, fl = _np_split2(feats)
+    featk3 = np.concatenate([fh, fh, fl], axis=1)    # (n_tiles, 3K, 5C)
+    # pairs with rayk3 = [rh | rl | rh] along K: fh@rh + fh@rl + fl@rh
     spheres = _np_tile_spheres(v0, e1, e2, n_tiles)  # (n_tiles, 1, 128)
     shadeT = shade.T.reshape(SHADE_K, n_tiles, c).transpose(1, 0, 2)
+    shadeT = np.concatenate(
+        [shadeT, np.zeros((n_tiles, SHADE_KP - SHADE_K, c), np.float32)],
+        axis=1)
     sh, sm, sl = _np_split3(shadeT)
-    shadek3 = np.concatenate([sh, sm, sl], axis=2)   # (n_tiles, SHADE_K, 3C)
+    shadek3 = np.concatenate([sh, sm, sl], axis=2)   # (n_tiles, SHADE_KP, 3C)
     return featk3, spheres, shadek3
 
 
