@@ -174,12 +174,12 @@ def rayf_from_components(rox, roy, roz, rdx, rdy, rdz):
 
 
 def _run(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
-         with_row: bool, row_from_lane: int = 0):
+         with_row: bool, row_from_lane: int = 0, interpret: bool = False):
     """ro, rd are V3 components; t_max/active (R,). Returns transposed outs."""
     if wt.featk3.shape[0] > 1:
         # Multi-tile scene: the two-level culled sweep.
         return _run2(wt, ro, rd, t_max, active, t_min, any_hit, with_row,
-                     row_from_lane)
+                     row_from_lane, interpret=interpret)
     rox, roy, roz = ro
     rdx, rdy, rdz = rd
     R = rox.shape[0]
@@ -248,6 +248,7 @@ def _run(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
+        interpret=interpret,
     )(scalars, featk3, rayk3, rayfT, t_max[None, :], spheres, shadek3)
 
     out_t, out_i = outs[0], outs[1]
@@ -642,7 +643,8 @@ def _fetch_kernel(idx_ref, tableT_ref, out_ref):
                           preferred_element_type=jnp.float32, precision=_HI)
 
 
-def pallas_fetch_t(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def pallas_fetch_t(table: jnp.ndarray, idx: jnp.ndarray,
+                   interpret: bool = False) -> jnp.ndarray:
     """table (N, K) f32, idx (R,) i32 -> transposed rows (K, R)."""
     n, k = table.shape
     r = idx.shape[0]
@@ -667,6 +669,7 @@ def pallas_fetch_t(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
+        interpret=interpret,
     )(idxp[None, :].astype(jnp.int32), tiledT)
     return out[:, :r]
 
