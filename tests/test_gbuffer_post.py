@@ -95,3 +95,91 @@ def test_postprocess_end_to_end():
     rad = acc[..., :3] / 4.0
     err = np.abs(np.asarray(prev) - rad).mean()
     assert err < 0.2
+
+def _cornell_setup():
+    world = NativeWorld("cornell")
+    world.update_camera(32, 32)
+    wt = build_world_tris(world)
+    scene = build_device_scene(world)
+    return world, wt, scene, jnp.asarray(world.camera())
+
+
+def _central_rays(c, R=32 * 32, res=32):
+    lane = jnp.arange(R, dtype=jnp.uint32)
+    px = (lane % res).astype(jnp.float32)
+    py = (lane // res).astype(jnp.float32)
+    u = (px + 0.5) / res
+    v = 1.0 - (py + 0.5) / res
+    ro = V3(jnp.broadcast_to(c[0], (R,)), jnp.broadcast_to(c[1], (R,)),
+            jnp.broadcast_to(c[2], (R,)))
+    rd = V3(c[4] + u * c[8] + v * c[12] - c[0],
+            c[5] + u * c[9] + v * c[13] - c[1],
+            c[6] + u * c[10] + v * c[14] - c[2])
+    return ro, rd
+
+
+def test_gbuffer_seed_hit_bit_identical():
+    """The seeded bounce-0 hit (seed_hit_from_wt_idx on GBuffer.wt_idx) is
+    BIT-identical to the traced hit, field by field: both derive hit_t /
+    barycentrics / shading from the same shade row, mirroring the
+    reference's G-buffer reconstruction (Raytracer.wgsl:617-654)."""
+    from webgpu_raytracer_tpu.ops.dense_trace import (intersect_and_shade,
+                                                      seed_hit_from_wt_idx)
+
+    world, wt, scene, c = _cornell_setup()
+    gb = render_gbuffer(wt, scene.textures, c, 32, 32)
+    ro, rd = _central_rays(c)
+    ha = intersect_and_shade(wt, scene.textures, ro, rd,
+                             jnp.ones(32 * 32, bool))
+    hb = seed_hit_from_wt_idx(wt, scene.textures, gb.wt_idx.reshape(-1),
+                              ro, rd)
+    for name in ("wt", "hit_t", "tex_u", "tex_v", "rowT"):
+        np.testing.assert_array_equal(np.asarray(getattr(ha, name)),
+                                      np.asarray(getattr(hb, name)), name)
+    for name in ("normal", "geom_n", "albedo"):
+        a, b = getattr(ha, name), getattr(hb, name)
+        for ax in "xyz":
+            np.testing.assert_array_equal(np.asarray(getattr(a, ax)),
+                                          np.asarray(getattr(b, ax)), name)
+
+
+def test_gbuffer_seeded_frame_matches_traced():
+    """Full-frame radiance: the seeded and traced programs are separately
+    jitted, and XLA may fuse the shared downstream math differently
+    (FMA/rounding), so last-bit throughput diffs can flip discrete
+    decisions (Russian roulette) on isolated lanes. The contract asserted:
+    >= 99% of pixels bit-equal and a tiny mean deviation, with the seed
+    itself bit-exact (previous test)."""
+    from webgpu_raytracer_tpu.ops.dense_trace import trace_pixels_dense
+
+    world, wt, scene, cam = _cornell_setup()
+    gb = render_gbuffer(wt, scene.textures, cam, 32, 32)
+    seed = gb.wt_idx.reshape(-1)
+    assert (np.asarray(seed) >= 0).all()
+    for frame in (1, 3):
+        a = np.asarray(trace_pixels_dense(
+            wt, scene.textures, cam, jnp.asarray(frame, jnp.int32),
+            jnp.zeros(2, jnp.float32), 32, 32, 1, 5))
+        b = np.asarray(trace_pixels_dense(
+            wt, scene.textures, cam, jnp.asarray(frame, jnp.int32),
+            jnp.zeros(2, jnp.float32), 32, 32, 1, 5, seed_wt_idx=seed))
+        same = (a == b).all(axis=-1)
+        assert same.mean() > 0.99, f"frame {frame}: {same.mean():.3%} equal"
+        assert np.abs(a - b).mean() < 2e-3
+
+
+def test_renderer_use_gbuffer_flag():
+    """Renderer.render_frame(use_gbuffer=True) accumulates the same image
+    as the traced path within the same per-lane bounds."""
+    from webgpu_raytracer_tpu import Renderer, RenderConfig
+
+    cfg = RenderConfig(width=32, height=32, max_depth=4, shader_spp=1)
+    ra = Renderer("cornell", config=cfg)
+    rb = Renderer("cornell", config=cfg)
+    for _ in range(2):
+        a = ra.render_frame()
+        b = rb.render_frame(use_gbuffer=True)
+    a, b = np.asarray(a), np.asarray(b)
+    same = (a == b).all(axis=-1)
+    assert same.mean() > 0.99
+    assert np.abs(a - b).mean() < 4e-3

@@ -140,6 +140,26 @@ def shade_from_rowT(textures, rowT, ro: V3, rd: V3):
     return tex_u, tex_v, normal, geom_n, albedo
 
 
+def _mt_refine_t(rowT, ro: V3, rd: V3):
+    """f32 Moller-Trumbore hit distance for a KNOWN triangle row.
+
+    The sweep's t (bf16x3 matmul) only needs to RANK candidate triangles;
+    the t actually used for hit positions is re-derived here in full f32
+    from the winning row — the same refinement the reference's G-buffer
+    seed performs by re-intersecting the identified triangle
+    (Raytracer.wgsl:638-654). This also makes G-buffer-seeded bounce 0
+    bit-identical to the traced-primary path (both recompute from rowT)."""
+    v0 = _row_v3(rowT, "v0")
+    e1 = _row_v3(rowT, "e1")
+    e2 = _row_v3(rowT, "e2")
+    s = ro - v0
+    h = cross(rd, e2)
+    a = dot(e1, h)
+    f = 1.0 / jnp.where(jnp.abs(a) > 1e-20, a, 1e-20)
+    q = cross(s, e1)
+    return f * dot(e2, q)
+
+
 def intersect_and_shade(wt: WorldTris, textures, ro: V3, rd: V3,
                         active) -> DenseHit:
     if _use_pallas():
@@ -153,7 +173,27 @@ def intersect_and_shade(wt: WorldTris, textures, ro: V3, rd: V3,
         t, idx = dense_closest(wt, to_rows(ro), to_rows(rd), active=active)
         rowT = wt.shade_table[jnp.clip(idx, 0, wt.shade_table.shape[0] - 1)].T
         rowT = jnp.where((idx >= 0)[None, :], rowT, 0.0)
+    t = jnp.where(idx >= 0, _mt_refine_t(rowT, ro, rd), t)
     tex_u, tex_v, normal, geom_n, albedo = shade_from_rowT(textures, rowT, ro, rd)
+    return DenseHit(rowT, idx, t, tex_u, tex_v, normal, geom_n, albedo)
+
+
+def seed_hit_from_wt_idx(wt: WorldTris, textures, wt_idx, ro: V3,
+                         rd: V3) -> DenseHit:
+    """Bounce-0 hit reconstructed from a G-buffer id channel.
+
+    The reference reads depth 0 from its rasterized G-buffer instead of
+    tracing it (Raytracer.wgsl:617-654): unpack the ids, re-fetch the
+    triangle, recompute barycentrics + hit_t. Here: one shade-row gather by
+    world-tri row + the shared shade_from_rowT / _mt_refine_t math, which
+    yields radiance BIT-IDENTICAL to the traced-primary path (the traced
+    path derives everything from the same rowT)."""
+    idx = jnp.asarray(wt_idx, jnp.int32)
+    rowT = _fetch_rowT(wt.shade_table, idx)
+    rowT = jnp.where((idx >= 0)[None, :], rowT, 0.0)
+    t = jnp.where(idx >= 0, _mt_refine_t(rowT, ro, rd), jnp.float32(T_MAX))
+    tex_u, tex_v, normal, geom_n, albedo = shade_from_rowT(textures, rowT,
+                                                           ro, rd)
     return DenseHit(rowT, idx, t, tex_u, tex_v, normal, geom_n, albedo)
 
 
@@ -273,16 +313,21 @@ def _offset_eps(p: V3):
 
 
 def ray_color_dense(wt: WorldTris, textures, ro: V3, rd: V3, rng,
-                    max_depth: int):
+                    max_depth: int, hit0: DenseHit | None = None):
     """Returns (radiance V3, rng, rays): `rays` is the EXACT number of rays
     traced for this sample batch (primary + NEE shadow + extension lanes
-    actually swept) — the honest numerator for Mrays/s reporting."""
+    actually swept) — the honest numerator for Mrays/s reporting.
+
+    `hit0` (optional) seeds bounce 0 from a G-buffer (seed_hit_from_wt_idx)
+    instead of tracing primaries — reference Raytracer.wgsl:617-654."""
     R = ro.x.shape[0]
     f32 = jnp.float32
     zeros = jnp.zeros(R, f32)
     ones = jnp.ones(R, f32)
 
-    hit0 = intersect_and_shade(wt, textures, ro, rd, jnp.ones(R, bool))
+    primary_rays = 0.0 if hit0 is not None else float(R)
+    if hit0 is None:
+        hit0 = intersect_and_shade(wt, textures, ro, rd, jnp.ones(R, bool))
     active0 = hit0.wt >= 0
 
     class _S(NamedTuple):
@@ -307,7 +352,7 @@ def ray_color_dense(wt: WorldTris, textures, ro: V3, rd: V3, rng,
         prev_pdf=zeros,
         specular_bounce=jnp.ones(R, bool),
         hit=hit0,
-        rays=jnp.asarray(float(R), f32),  # primary rays
+        rays=jnp.asarray(primary_rays, f32),  # primary rays
     )
 
     def body(depth, s: _S):
@@ -450,12 +495,21 @@ def trace_pixels_dense(wt: WorldTris, textures, camera24, frame_count, jitter,
                        width: int, height: int, spp: int, max_depth: int,
                        row0=0, full_height: int | None = None,
                        total_spp: int | None = None, sample0=0,
-                       with_stats: bool = False):
+                       with_stats: bool = False, seed_wt_idx=None):
     """Dense-backend frame render; same signature semantics as
     ops.trace.trace_pixels (tile/sample sharding offsets included).
 
     Returns (H*W, 3) radiance averaged over spp; with with_stats=True,
-    returns (radiance, rays) where rays is the exact count of rays traced.
+    returns (radiance, rays) where rays is the exact count of rays traced
+    (seeded mode excludes the G-buffer's own primary cast — count it where
+    the G-buffer is rendered).
+
+    `seed_wt_idx` ((H*W,) i32, -1 = miss): seed every sample's bounce 0
+    from a G-buffer id channel (GBuffer.wt_idx) instead of tracing
+    primaries — the reference's rasterized depth-0 path
+    (Raytracer.wgsl:617-654). The seed hit is reconstructed with each
+    sample's own ray so, at lens_radius == 0, radiance is bit-identical to
+    the traced-primary path.
     """
     if full_height is None:
         full_height = height
@@ -499,7 +553,11 @@ def trace_pixels_dense(wt: WorldTris, textures, camera24, frame_count, jitter,
             lower_left[2] + u * horizontal[2] + v * vertical[2] - cam[2],
         ) - off
         ro = origin + off
-        col, _, rays = ray_color_dense(wt, textures, ro, d, rng, max_depth)
+        hit0 = None
+        if seed_wt_idx is not None:
+            hit0 = seed_hit_from_wt_idx(wt, textures, seed_wt_idx, ro, d)
+        col, _, rays = ray_color_dense(wt, textures, ro, d, rng, max_depth,
+                                       hit0=hit0)
         ax, ay, az, ar = acc
         return (ax + col.x, ay + col.y, az + col.z, ar + rays)
 

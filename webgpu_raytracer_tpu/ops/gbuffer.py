@@ -34,6 +34,11 @@ class GBuffer(NamedTuple):
     tri_idx: jnp.ndarray      # (H, W) i32 topology index (-1 miss)
     inst_idx: jnp.ndarray     # (H, W) i32 instance index (-1 miss)
     depth: jnp.ndarray        # (H, W) f32 in [0, 1]; 1.0 = miss
+    # TPU-native extra id channel: the world-triangle table row, so the
+    # seeded bounce-0 path re-fetches the shade row with one gather instead
+    # of the reference's (tri, inst) -> topology -> object-space round trip
+    # (Raytracer.wgsl:617-654); information content is identical.
+    wt_idx: jnp.ndarray       # (H, W) i32 world-tri row (-1 miss)
 
 
 def pack_normal_oct(n: V3):
@@ -108,4 +113,5 @@ def render_gbuffer(wt: WorldTris, textures, camera24, width: int, height: int,
         [img(hit.albedo.x), img(hit.albedo.y), img(hit.albedo.z)], axis=-1)
     albedo = jnp.where(found.reshape(height, width, 1), albedo, 0.0)
     normal_oct = jnp.stack([img(ox), img(oy)], axis=-1)
-    return GBuffer(albedo, normal_oct, img(tri), img(inst), img(depth))
+    return GBuffer(albedo, normal_oct, img(tri), img(inst), img(depth),
+                   img(jnp.where(found, hit.wt, -1)))

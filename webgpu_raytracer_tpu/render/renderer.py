@@ -29,15 +29,31 @@ from .worldtris import build_world_tris
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "spp", "max_depth", "backend"),
+    static_argnames=("width", "height", "spp", "max_depth", "backend",
+                     "use_gbuffer"),
     donate_argnames=("accum",),
 )
 def render_step(scene, camera, frame_count, jitter, accum, *,
                 width: int, height: int, spp: int, max_depth: int,
-                backend: str = "bvh"):
-    """One progressive frame: trace + accumulate (WebGPURenderer.compute)."""
+                backend: str = "bvh", use_gbuffer: bool = False):
+    """One progressive frame: trace + accumulate (WebGPURenderer.compute).
+
+    use_gbuffer=True (dense backend): rasterizer-pass analogue — render the
+    primary-visibility G-buffer first and seed every sample's bounce 0 from
+    its id channel instead of tracing primaries (the reference pipeline's
+    Rasterizer.wgsl -> Raytracer.wgsl:617-654 hand-off). Radiance is
+    bit-identical to the traced-primary path at lens_radius == 0
+    (tests/test_gbuffer_post.py)."""
+    kwargs = {}
+    if use_gbuffer and backend == "dense":
+        from ..ops.gbuffer import render_gbuffer
+
+        wt, textures = scene
+        gb = render_gbuffer(wt, textures, camera, width, height,
+                            jitter=jitter)
+        kwargs["seed_wt_idx"] = gb.wt_idx.reshape(-1)
     col = get_tracer(backend)(scene, camera, frame_count, jitter, width,
-                              height, spp, max_depth)
+                              height, spp, max_depth, **kwargs)
     return accumulate(accum, col, frame_count)
 
 
@@ -167,8 +183,11 @@ class Renderer:
 
     # -- per-frame ---------------------------------------------------------
 
-    def render_frame(self):
-        """Trace one progressive frame into the accumulator."""
+    def render_frame(self, use_gbuffer: bool = False):
+        """Trace one progressive frame into the accumulator.
+
+        use_gbuffer=True seeds bounce 0 from the rasterizer-analogue
+        G-buffer pass (dense backend only; see render_step)."""
         self.frame_count += 1
         jitter, self._avg_jitter = self._jitter_acc.step(self.frame_count)
         self.accum = render_step(
@@ -182,6 +201,7 @@ class Renderer:
             spp=self.spp,
             max_depth=self.max_depth,
             backend=self.backend,
+            use_gbuffer=use_gbuffer and self.backend == "dense",
         )
         return self.accum
 
