@@ -66,10 +66,13 @@ def build(scene_name, obj_source=None, glb_data=None, width=512, height=512):
     from webgpu_raytracer_tpu.models.native import NativeWorld
     from webgpu_raytracer_tpu.render.resources import build_device_scene
     from webgpu_raytracer_tpu.render.worldtris import build_world_tris
+    from webgpu_raytracer_tpu.utils.textures import decode_world_textures
 
     world = NativeWorld(scene_name, obj_source, glb_data)
     world.update_camera(width, height)
-    scene = build_device_scene(world)
+    # Decode to the 1024^2 texture array like the Renderer does — without
+    # this, textured configs silently bench the 1x1 fast path.
+    scene = build_device_scene(world, textures=decode_world_textures(world))
     wt = build_world_tris(world)
     camera = jnp.asarray(world.camera())
     return world, wt, scene, camera

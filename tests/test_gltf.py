@@ -105,13 +105,14 @@ def test_glb_texture_pipeline():
 
     from tests.glb_fixture import textured_quad_glb
     from webgpu_raytracer_tpu.ops.dense_trace import sample_texture_v3
-    from webgpu_raytracer_tpu.utils.textures import decode_world_textures
+    from webgpu_raytracer_tpu.utils.textures import (decode_world_textures,
+                                                     pack_quad_table)
 
     w = NativeWorld("viewer", glb_data=textured_quad_glb())
     assert w.texture_count() == 1
     tex = decode_world_textures(w, size=64)
     assert tex.shape == (1, 64, 64, 3)
-    textures = jnp.asarray(tex)
+    textures = jnp.asarray(pack_quad_table(tex))  # the device layout
 
     idx = jnp.zeros(8, jnp.int32)
     u = jnp.asarray([0.2] * 4 + [0.8] * 4, jnp.float32)

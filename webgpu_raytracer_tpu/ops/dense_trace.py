@@ -48,42 +48,51 @@ def _use_pallas() -> bool:
 
 
 def sample_texture_v3(textures, tex_idx, u, v) -> V3:
-    """Component-SoA texture sample; tex_idx < 0 returns white."""
+    """Component-SoA texture sample; tex_idx < 0 returns white.
+
+    General path: the PACKED QUAD TABLE (utils/textures.pack_quad_table) —
+    one (16 B) row gather delivers all four bilinear corners as u8 codes
+    (XLA's TPU gather fast path is short-row-per-index; a 4-gather bilinear
+    costs 4x, a windowed (2,2,3) gather 400x — measured). The whole sample
+    is skipped at runtime (lax.cond) when NO lane carries this map — most
+    scenes only bind a base-color texture, so metallic-roughness / normal /
+    emissive calls cost nothing.
+    """
     K, TH, TW, _ = textures.shape
     has = tex_idx >= 0
+    one = jnp.ones_like(u)
     if K == 1 and TH == 1 and TW == 1:
         texel = textures[0, 0, 0]
-        one = jnp.ones_like(u)
         return V3(jnp.where(has, texel[0], 1.0) * one,
                   jnp.where(has, texel[1], 1.0) * one,
                   jnp.where(has, texel[2], 1.0) * one)
-    # General path: bilinear repeat-mode gathers (texture-heavy scenes).
-    idx = jnp.clip(tex_idx, 0, K - 1)
-    uu = u - jnp.floor(u)
-    vv = v - jnp.floor(v)
-    fx = uu * TW - 0.5
-    fy = vv * TH - 0.5
-    x0 = jnp.floor(fx).astype(jnp.int32)
-    y0 = jnp.floor(fy).astype(jnp.int32)
-    wx = fx - x0
-    wy = fy - y0
-    flat = textures.reshape(-1, textures.shape[-1])
 
-    def fetch(xi, yi):
-        xi = jnp.mod(xi, TW)
-        yi = jnp.mod(yi, TH)
-        t = flat[(idx * TH + yi) * TW + xi]
-        return V3(t[:, 0], t[:, 1], t[:, 2])
+    def sample(_):
+        idx = jnp.clip(tex_idx, 0, K - 1)
+        uu = u - jnp.floor(u)
+        vv = v - jnp.floor(v)
+        fx = uu * TW - 0.5
+        fy = vv * TH - 0.5
+        x0 = jnp.floor(fx).astype(jnp.int32)
+        y0 = jnp.floor(fy).astype(jnp.int32)
+        wx = fx - x0
+        wy = fy - y0
+        flat = textures.reshape(-1, 4)
+        q = flat[(idx * TH + jnp.mod(y0, TH)) * TW + jnp.mod(x0, TW)]
 
-    c00 = fetch(x0, y0)
-    c10 = fetch(x0 + 1, y0)
-    c01 = fetch(x0, y0 + 1)
-    c11 = fetch(x0 + 1, y0 + 1)
-    top = c00 * (1 - wx) + c10 * wx
-    bot = c01 * (1 - wx) + c11 * wx
-    rgb = top * (1 - wy) + bot * wy
-    one = jnp.ones_like(u)
-    return where(has, rgb, V3(one, one, one))
+        def corner(c):
+            w = q[:, c]
+            return V3(((w >> 16) & 0xFF).astype(jnp.float32),
+                      ((w >> 8) & 0xFF).astype(jnp.float32),
+                      (w & 0xFF).astype(jnp.float32)) * (1.0 / 255.0)
+
+        top = corner(0) * (1 - wx) + corner(1) * wx
+        bot = corner(2) * (1 - wx) + corner(3) * wx
+        rgb = top * (1 - wy) + bot * wy
+        return where(has, rgb, V3(one, one, one))
+
+    return jax.lax.cond(jnp.any(has), sample,
+                        lambda _: V3(one, one, one), None)
 
 
 class DenseHit(NamedTuple):
@@ -97,12 +106,16 @@ class DenseHit(NamedTuple):
     albedo: V3
 
 
-def shade_from_rowT(textures, rowT, ro: V3, rd: V3):
+def shade_from_rowT(textures, rowT, ro: V3, rd: V3, valid=None):
     """Barycentric attributes for a known world triangle (world space).
 
     Same math as the reference's hit reconstruction (Raytracer.wgsl:738-779)
     minus the object-space round trip: barycentrics are affine-invariant so
     world-space Moller-Trumbore gives identical weights.
+
+    `valid` masks lanes with no real row (miss lanes carry zeroed rows whose
+    texture slots read as 0 == "texture present", which would defeat the
+    samplers' whole-call lax.cond skip).
     """
     v0 = _row_v3(rowT, "v0")
     e1 = _row_v3(rowT, "e1")
@@ -125,11 +138,14 @@ def shade_from_rowT(textures, rowT, ro: V3, rd: V3):
                    + _row_v3(rowT, "n2") * v)
 
     base_tex = _row_f(rowT, "tex", 0).astype(jnp.int32)
+    normal_tex = _row_f(rowT, "tex", 2).astype(jnp.int32)
+    if valid is not None:
+        base_tex = jnp.where(valid, base_tex, -1)
+        normal_tex = jnp.where(valid, normal_tex, -1)
     albedo = _row_v3(rowT, "base_color") * sample_texture_v3(
         textures, base_tex, tex_u, tex_v)
 
     # Tangent-space normal mapping with edge1 tangent (wgsl:770-776).
-    normal_tex = _row_f(rowT, "tex", 2).astype(jnp.int32)
     n_map = sample_texture_v3(textures, normal_tex, tex_u, tex_v) * 2.0 - 1.0
     t_axis = normalize(e1)
     b_axis = normalize(cross(ln, t_axis))
@@ -174,7 +190,8 @@ def intersect_and_shade(wt: WorldTris, textures, ro: V3, rd: V3,
         rowT = wt.shade_table[jnp.clip(idx, 0, wt.shade_table.shape[0] - 1)].T
         rowT = jnp.where((idx >= 0)[None, :], rowT, 0.0)
     t = jnp.where(idx >= 0, _mt_refine_t(rowT, ro, rd), t)
-    tex_u, tex_v, normal, geom_n, albedo = shade_from_rowT(textures, rowT, ro, rd)
+    tex_u, tex_v, normal, geom_n, albedo = shade_from_rowT(
+        textures, rowT, ro, rd, valid=idx >= 0)
     return DenseHit(rowT, idx, t, tex_u, tex_v, normal, geom_n, albedo)
 
 
@@ -192,8 +209,8 @@ def seed_hit_from_wt_idx(wt: WorldTris, textures, wt_idx, ro: V3,
     rowT = _fetch_rowT(wt.shade_table, idx)
     rowT = jnp.where((idx >= 0)[None, :], rowT, 0.0)
     t = jnp.where(idx >= 0, _mt_refine_t(rowT, ro, rd), jnp.float32(T_MAX))
-    tex_u, tex_v, normal, geom_n, albedo = shade_from_rowT(textures, rowT,
-                                                           ro, rd)
+    tex_u, tex_v, normal, geom_n, albedo = shade_from_rowT(
+        textures, rowT, ro, rd, valid=idx >= 0)
     return DenseHit(rowT, idx, t, tex_u, tex_v, normal, geom_n, albedo)
 
 
@@ -221,8 +238,9 @@ def fused_shadow_and_next(wt: WorldTris, textures, sro: V3, srd: V3, s_tmax,
                                                active=act, row_from_lane=R)
         occluded = idx[:R] >= 0
         nt, nidx, nrowT = t[R:], idx[R:], rowT[:, R:]
+        nt = jnp.where(nidx >= 0, _mt_refine_t(nrowT, cro, crd), nt)
         tex_u, tex_v, normal, geom_n, albedo = shade_from_rowT(
-            textures, nrowT, cro, crd)
+            textures, nrowT, cro, crd, valid=nidx >= 0)
         return occluded, DenseHit(nrowT, nidx, nt, tex_u, tex_v, normal,
                                   geom_n, albedo)
     occluded = shadow_query(wt, sro, srd, t_max=s_tmax, active=s_active)
@@ -364,8 +382,10 @@ def ray_color_dense(wt: WorldTris, textures, ro: V3, rd: V3, rng,
     def _bounce(depth, s: _S):
         rowT = s.hit.rowT
         mat = _row_f(rowT, "mat").astype(jnp.int32)
-        tex_mr = _row_f(rowT, "tex", 1).astype(jnp.int32)
-        tex_em = _row_f(rowT, "tex", 3).astype(jnp.int32)
+        tex_mr = jnp.where(s.active, _row_f(rowT, "tex", 1), -1.0) \
+            .astype(jnp.int32)
+        tex_em = jnp.where(s.active, _row_f(rowT, "tex", 3), -1.0) \
+            .astype(jnp.int32)
 
         hit_p = s.ro + s.rd * s.hit.hit_t
 

@@ -50,38 +50,45 @@ def _offset_eps(p):
 
 
 def sample_texture(textures, tex_idx, uv):
-    """Sample the texture array; tex_idx < 0 returns white. uv repeat mode."""
+    """Sample the texture array; tex_idx < 0 returns white. uv repeat mode.
+
+    General path reads the packed bilinear quad table (one short-row gather
+    per sample; see utils/textures.pack_quad_table and the dense sampler
+    ops/dense_trace.sample_texture_v3 for the rationale + measurements)."""
     K, TH, TW, _ = textures.shape
     if K == 1 and TH == 1 and TW == 1:
         # Placeholder-texture fast path (untextured scenes): statically
         # shaped, no gathers.
         texel = textures[0, 0, 0][None, :]
         return jnp.where((tex_idx >= 0)[..., None], texel, 1.0)
-    idx = jnp.clip(tex_idx, 0, K - 1)
-    u = uv[..., 0] - jnp.floor(uv[..., 0])
-    v = uv[..., 1] - jnp.floor(uv[..., 1])
-    fx = u * TW - 0.5
-    fy = v * TH - 0.5
-    x0 = jnp.floor(fx).astype(jnp.int32)
-    y0 = jnp.floor(fy).astype(jnp.int32)
-    wx = fx - x0
-    wy = fy - y0
 
-    flat = textures.reshape(-1, textures.shape[-1])
+    def sample(_):
+        idx = jnp.clip(tex_idx, 0, K - 1)
+        u = uv[..., 0] - jnp.floor(uv[..., 0])
+        v = uv[..., 1] - jnp.floor(uv[..., 1])
+        fx = u * TW - 0.5
+        fy = v * TH - 0.5
+        x0 = jnp.floor(fx).astype(jnp.int32)
+        y0 = jnp.floor(fy).astype(jnp.int32)
+        wx = fx - x0
+        wy = fy - y0
+        flat = textures.reshape(-1, 4)
+        q = flat[(idx * TH + jnp.mod(y0, TH)) * TW + jnp.mod(x0, TW)]
 
-    def fetch(xi, yi):
-        xi = jnp.mod(xi, TW)
-        yi = jnp.mod(yi, TH)
-        return flat[(idx * TH + yi) * TW + xi]
+        def corner(c):
+            w = q[..., c]
+            return jnp.stack(
+                [((w >> 16) & 0xFF), ((w >> 8) & 0xFF), (w & 0xFF)],
+                axis=-1).astype(jnp.float32) * (1.0 / 255.0)
 
-    c00 = fetch(x0, y0)
-    c10 = fetch(x0 + 1, y0)
-    c01 = fetch(x0, y0 + 1)
-    c11 = fetch(x0 + 1, y0 + 1)
-    top = c00 * (1 - wx)[..., None] + c10 * wx[..., None]
-    bot = c01 * (1 - wx)[..., None] + c11 * wx[..., None]
-    rgb = top * (1 - wy)[..., None] + bot * wy[..., None]
-    return jnp.where((tex_idx >= 0)[..., None], rgb, 1.0)
+        top = corner(0) * (1 - wx)[..., None] + corner(1) * wx[..., None]
+        bot = corner(2) * (1 - wx)[..., None] + corner(3) * wx[..., None]
+        rgb = top * (1 - wy)[..., None] + bot * wy[..., None]
+        return jnp.where((tex_idx >= 0)[..., None], rgb, 1.0)
+
+    return jax.lax.cond(
+        jnp.any(tex_idx >= 0), sample,
+        lambda _: jnp.ones(tex_idx.shape + (3,), jnp.float32), None)
 
 
 # ---------------------------------------------------------------------------

@@ -98,9 +98,13 @@ class Renderer:
             self.world.set_animation(self.config.anim_index)
             self.world.update(0.0)
         self.world.update_camera(self.width, self.height)
-        from ..utils.textures import decode_world_textures
+        from ..utils.textures import decode_world_textures, pack_quad_table
 
         self._textures_np = decode_world_textures(self.world)
+        if self._textures_np is not None:
+            # Pack ONCE; reupload_scene passes the packed table straight
+            # through (scene updates re-upload per frame when animating).
+            self._textures_np = pack_quad_table(self._textures_np)
         self.scene: DeviceScene = build_device_scene(
             self.world, textures=self._textures_np)
         n_world_tris = self._world_tri_count()

@@ -173,6 +173,12 @@ def build_device_scene(
 
     if textures is None:
         textures = np.ones((1, 1, 1, 3), np.float32)
+    elif textures.dtype != np.uint32 and textures.shape[1] > 1:
+        # Real texture layers -> the packed bilinear quad table (one row
+        # gather per sample instead of four; utils/textures.pack_quad_table)
+        from ..utils.textures import pack_quad_table
+
+        textures = pack_quad_table(textures)
 
     return DeviceScene(
         node_min=jnp.asarray(merged_min),
@@ -194,5 +200,5 @@ def build_device_scene(
         inst_blas=jnp.asarray(inst_blas_abs, jnp.int32),
         lights=jnp.asarray(lights, jnp.int32),
         light_count=jnp.asarray(light_count, jnp.int32),
-        textures=jnp.asarray(textures, jnp.float32),
+        textures=jnp.asarray(textures),  # u32 quad table or (1,1,1,3) f32
     )

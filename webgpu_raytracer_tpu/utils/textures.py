@@ -42,3 +42,28 @@ def decode_world_textures(world, size: int = TEX_SIZE) -> np.ndarray | None:
         else:
             layers.append(np.ones((size, size, 3), np.float32))
     return np.stack(layers)
+
+
+def pack_quad_table(tex: np.ndarray) -> np.ndarray:
+    """(K, S, S, 3) f32 in [0,1] -> (K, S, S, 4) uint32 bilinear quad table.
+
+    TPU-native texture layout: XLA's gather fast path is "one short row per
+    index" — a (1, C<=16B) slice costs ~9 ms at 2M lanes where a (2,2,3)
+    windowed gather costs 4+ SECONDS (measured, v5e). So the four bilinear
+    corners are pre-baked per texel: word c of row (k, y, x) packs corner c
+    of the quad at (y, x) as r<<16 | g<<8 | b u8 codes (repeat-mode
+    neighbors baked via roll), making a bilinear sample ONE row gather +
+    VPU bit unpacking. u8 codes reconstruct the reference's rgba8unorm
+    texels exactly (code/255 at f32); memory is 16 B/texel (vs 12 for raw
+    f32 rgb).
+    """
+    codes = np.clip(np.rint(tex * 255.0), 0, 255).astype(np.uint32)
+    c00 = codes
+    c10 = np.roll(codes, -1, axis=2)
+    c01 = np.roll(codes, -1, axis=1)
+    c11 = np.roll(c10, -1, axis=1)
+    words = [
+        (c[..., 0] << 16) | (c[..., 1] << 8) | c[..., 2]
+        for c in (c00, c10, c01, c11)
+    ]
+    return np.stack(words, axis=-1)
