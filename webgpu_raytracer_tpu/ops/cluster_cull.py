@@ -57,9 +57,27 @@ def tile_cluster_worklist(rayfT, t_max, spheres, m_tile: int):
     # t_max is in ray-parameter units; directions are NOT unit length for
     # primary camera rays (|d| ~ focus_dist, RTiOW convention). Convert to
     # world distance per lane before comparing against sphere distances.
+    # Each lane's reach is additionally clamped by its EXIT of the scene
+    # bounding sphere: rays that miss everything carry t_max = 1e30, which
+    # would otherwise mark every cluster "reachable" for the whole tile.
     dlen = jnp.sqrt((d * d).sum(axis=0))
-    tmax_tile = jnp.where(
-        act, t_max.reshape(t, m_tile) * dlen, 0.0).max(axis=1)
+    live_c = spheres[:, 3] >= 0.0
+    s_lo = jnp.min(jnp.where(live_c[:, None], spheres[:, 0:3]
+                             - spheres[:, 3:4], jnp.float32(3e38)), axis=0)
+    s_hi = jnp.max(jnp.where(live_c[:, None], spheres[:, 0:3]
+                             + spheres[:, 3:4], jnp.float32(-3e38)), axis=0)
+    s_c = (s_lo + s_hi) * 0.5
+    s_r = 0.5 * jnp.sqrt(((s_hi - s_lo) ** 2).sum())
+    oc = o - s_c[:, None, None]                       # (3, T, m)
+    b_s = (d * oc).sum(axis=0)
+    dd_s = jnp.maximum((d * d).sum(axis=0), 1e-30)
+    cc_s = (oc * oc).sum(axis=0) - s_r * s_r
+    disc_s = b_s * b_s - dd_s * cc_s
+    t_exit = (-b_s + jnp.sqrt(jnp.maximum(disc_s, 0.0))) / dd_s
+    exit_world = jnp.where(disc_s >= 0.0, jnp.maximum(t_exit, 0.0), 0.0) \
+        * dlen
+    reach_world = jnp.minimum(t_max.reshape(t, m_tile) * dlen, exit_world)
+    tmax_tile = jnp.where(act, reach_world, 0.0).max(axis=1)
 
     cc = spheres[:, 0:3]                                          # (Ct, 3)
     rc = spheres[:, 3]                                            # (Ct,)

@@ -399,6 +399,24 @@ def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, rayf_ref, tmax_ref,
     dlen = jnp.sqrt(rayf_ref[0:1, :] ** 2 + rayf_ref[1:2, :] ** 2
                     + rayf_ref[2:3, :] ** 2)
 
+    # Scene-sphere reach cap (loop-invariant): a lane that exits the scene
+    # bounding sphere (last sph_ref row, appended by _run2) can't hit
+    # anything past that exit — without this, miss lanes carry t_max = 1e30
+    # and defeat the sorted early termination for their whole tile.
+    srow = sph_ref[sph_ref.shape[0] - 1, :]
+    scx, scy, scz, scr = srow[0], srow[1], srow[2], srow[3]
+    dx_, dy_, dz_ = rayf_ref[0:1, :], rayf_ref[1:2, :], rayf_ref[2:3, :]
+    ocx_ = rayf_ref[6:7, :] - scx
+    ocy_ = rayf_ref[7:8, :] - scy
+    ocz_ = rayf_ref[8:9, :] - scz
+    b_s = dx_ * ocx_ + dy_ * ocy_ + dz_ * ocz_
+    dd_s = jnp.maximum(dx_ * dx_ + dy_ * dy_ + dz_ * dz_, 1e-30)
+    cc_s = ocx_ * ocx_ + ocy_ * ocy_ + ocz_ * ocz_ - scr * scr
+    disc_s = b_s * b_s - dd_s * cc_s
+    t_exit = (-b_s + jnp.sqrt(jnp.maximum(disc_s, 0.0))) / dd_s
+    reach_cap = jnp.where(disc_s >= 0.0, jnp.maximum(t_exit, 0.0), 0.0) \
+        * dlen
+
     # Software-pipelined survivor loop: while processing cluster k, decide
     # (cull + DMA-start) cluster k+1, and terminate the whole loop once the
     # next sorted min-reach key (world units) exceeds every lane's open
@@ -409,7 +427,7 @@ def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, rayf_ref, tmax_ref,
 
     def body(carry):
         k, started_k, _ = carry
-        maxt = jnp.max(lane_tmax() * dlen)
+        maxt = jnp.max(jnp.minimum(lane_tmax() * dlen, reach_cap))
         in_range = k + 1 < count
         k1 = jnp.minimum(k + 1, surv_ref.shape[2] - 1)  # clamp for the read
         reach = dist_ref[0, 0, k1] <= maxt
@@ -508,6 +526,12 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
 
     order, keys, counts = tile_cluster_worklist(rayfT, t_max, sph_flat,
                                                 M_TILE2)
+    # Append the scene bounding sphere as the last row (the kernel's
+    # per-lane reach cap reads it at static index Ct).
+    scene_row = jnp.zeros((1, 128), jnp.float32)
+    scene_row = scene_row.at[0, 0:3].set(smin + 0.5 * sext)
+    scene_row = scene_row.at[0, 3].set(0.5 * jnp.sqrt((sext ** 2).sum()))
+    sph_aug = jnp.concatenate([sph_flat, scene_row], axis=0)
     ct_pad = (-n_clusters) % 128
     if ct_pad:
         order = jnp.pad(order, ((0, 0), (0, ct_pad)))
@@ -546,8 +570,8 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
             pl.BlockSpec((3 * FEAT_K, M_TILE2), lambda i, v: (0, i)),
             pl.BlockSpec((FEAT_K, M_TILE2), lambda i, v: (0, i)),
             pl.BlockSpec((1, M_TILE2), lambda i, v: (0, i)),
-            # full cluster-sphere table resident in VMEM (Ct x 128 f32)
-            pl.BlockSpec((n_clusters, 128), lambda i, v: (0, 0)),
+            # cluster-sphere table + scene-sphere row, resident in VMEM
+            pl.BlockSpec((n_clusters + 1, 128), lambda i, v: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),   # featk3 (HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),   # shadek3 (HBM)
         ],
@@ -569,7 +593,7 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(scal, order, keys, rayk3, rayfT, t_max[None, :], sph_flat, featk3,
+    )(scal, order, keys, rayk3, rayfT, t_max[None, :], sph_aug, featk3,
       shadek3)
 
     # Un-permute: with_row recovers rows + t + idx with ONE (R, SHADE_KP)
