@@ -232,3 +232,18 @@ def test_http_admin_console(coord):
                     "Basic " + base64.b64encode(b"admin:pw").decode())
     with urllib.request.urlopen(kick, timeout=5) as resp:
         assert json.loads(resp.read())["kicked"] == wid
+
+
+def test_http_admin_page(coord):
+    """GET /admin serves the HTML console (reference admin.html)."""
+    import base64
+    import urllib.request
+
+    port = coord.start_admin(password="pw")
+    req = urllib.request.Request(f"http://127.0.0.1:{port}/admin")
+    req.add_header("Authorization",
+                   "Basic " + base64.b64encode(b"admin:pw").decode())
+    with urllib.request.urlopen(req, timeout=5) as resp:
+        assert resp.headers["Content-Type"].startswith("text/html")
+        body = resp.read().decode()
+    assert "/admin/api/status" in body and "kick" in body

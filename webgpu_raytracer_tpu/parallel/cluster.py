@@ -41,6 +41,50 @@ from .protocol import Message
 GRACE_PERIOD_S = 30.0
 LOG_RING = 100
 
+# Admin console page (reference signaling-server/admin.html): live status,
+# worker table with kick buttons, log tail; polls /admin/api/status at 2 s.
+_ADMIN_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>render farm admin</title>
+<style>
+ body{font:14px monospace;background:#111;color:#ddd;margin:2em}
+ h1{font-size:18px} table{border-collapse:collapse;margin:1em 0}
+ td,th{border:1px solid #444;padding:4px 10px;text-align:left}
+ .idle{color:#6c6}.busy{color:#fc6}.lost{color:#f66}.loading{color:#6cf}
+ #log{white-space:pre;background:#000;padding:1em;max-height:20em;
+      overflow-y:auto;border:1px solid #333}
+ button{background:#311;color:#f88;border:1px solid #633;cursor:pointer}
+</style></head><body>
+<h1>render farm</h1>
+<div id="summary">loading&hellip;</div>
+<table id="workers"><tr><th>id</th><th>status</th><th>job</th><th></th></tr>
+</table>
+<div id="log"></div>
+<script>
+async function kick(id){
+  await fetch('/admin/api/kick?id='+id,{method:'POST'});refresh();}
+async function refresh(){
+  try{
+    const s=await (await fetch('/admin/api/status')).json();
+    document.getElementById('summary').textContent=
+      `queue: ${s.queue} | results: ${s.results}/${s.expected} | `+
+      `workers: ${s.workers.length}`;
+    const t=document.getElementById('workers');
+    t.innerHTML='<tr><th>id</th><th>status</th><th>job</th><th></th></tr>';
+    for(const w of s.workers){
+      const r=t.insertRow();
+      r.insertCell().textContent=w.id;
+      const c=r.insertCell();c.textContent=w.status;c.className=w.status;
+      r.insertCell().textContent=w.job?`${w.job.start}+${w.job.count}`:'-';
+      const b=document.createElement('button');b.textContent='kick';
+      b.onclick=()=>kick(w.id);r.insertCell().appendChild(b);
+    }
+    document.getElementById('log').textContent=s.log.join('\\n');
+  }catch(e){document.getElementById('summary').textContent='error: '+e;}
+}
+refresh();setInterval(refresh,2000);
+</script></body></html>
+"""
+
 
 @dataclass
 class Job:
@@ -217,6 +261,14 @@ class Coordinator:
                     return
                 if self.path == "/admin/api/status":
                     self._json(200, coord.admin_status())
+                elif self.path in ("/", "/admin"):
+                    body = _ADMIN_HTML.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                 else:
                     self._json(404, {"error": "not found"})
 

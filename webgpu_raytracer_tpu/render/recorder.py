@@ -209,15 +209,21 @@ def mux_frames(frames: List[EncodedFrame], fps: int, output: str) -> str:
 
     ffmpeg = shutil.which("ffmpeg")
     if ffmpeg:
-        video_path = output + ".mp4"
-        cmd = [
-            ffmpeg, "-y", "-framerate", str(fps),
-            "-i", os.path.join(frame_dir, "frame_%05d.png"),
-            "-pix_fmt", "yuv420p", "-crf", "18", video_path,
+        # Prefer the reference's container/codec (VP9 webm @ 12 Mbps,
+        # VideoRecorder.ts:194-227); fall back to H.264 mp4, then PNG dir.
+        attempts = [
+            (output + ".webm", ["-c:v", "libvpx-vp9", "-b:v", "12M"]),
+            (output + ".mp4", ["-pix_fmt", "yuv420p", "-crf", "18"]),
         ]
-        try:
-            subprocess.run(cmd, check=True, capture_output=True)
-            return video_path
-        except Exception:
-            pass
+        for video_path, codec_args in attempts:
+            cmd = [
+                ffmpeg, "-y", "-framerate", str(fps),
+                "-i", os.path.join(frame_dir, "frame_%05d.png"),
+                *codec_args, video_path,
+            ]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True)
+                return video_path
+            except Exception:
+                continue
     return frame_dir
