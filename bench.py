@@ -136,6 +136,17 @@ def main(argv):
             f"{err:.1%} from golden {GOLDEN_CORNELL_MEAN}")
 
     if not quick:
+        # --- cornell at 1080p (the BASELINE north-star resolution) ---
+        try:
+            world.update_camera(1920, 1080)
+            cam_hd = jnp.asarray(world.camera())
+            v, _, rpf = measure(wt, scene, cam_hd, 1920, 1080, 1, 8, 8, rt)
+            emit("cornell_1080p_d8_mrays_per_sec_per_chip", v, "Mrays/s",
+                 spp_per_sec_1080p=round(v * 1e6 / rpf, 2))
+        except Exception as e:
+            emit("cornell_1080p_d8_mrays_per_sec_per_chip", -1.0, "Mrays/s",
+                 error=str(e)[:120])
+
         # --- config 1: gem OBJ on the viewer pedestal, 256x256 d5 ---
         _, wt1, sc1, cam1 = build("viewer", obj_source=GEM_OBJ,
                                   width=256, height=256)

@@ -261,6 +261,12 @@ def shadow_query(wt: WorldTris, ro: V3, rd: V3, t_max, active):
 
 
 def _fetch_rowT(table, idx):
+    if table.shape[0] <= 128:
+        # Small table (NEE light rows): a one-hot matmul beats a kernel
+        # launch; HIGHEST precision keeps the selection exact in f32.
+        oh = (jnp.arange(table.shape[0], dtype=jnp.int32)[:, None]
+              == idx[None, :]).astype(table.dtype)
+        return jnp.dot(table.T, oh, precision=jax.lax.Precision.HIGHEST)
     if _use_pallas():
         from .pallas_dense import pallas_fetch_t
 
