@@ -102,9 +102,11 @@ class Renderer:
 
         self._textures_np = decode_world_textures(self.world)
         if self._textures_np is not None:
-            # Pack ONCE; reupload_scene passes the packed table straight
-            # through (scene updates re-upload per frame when animating).
-            self._textures_np = pack_quad_table(self._textures_np)
+            # Pack ONCE and keep the DEVICE array: textures never change
+            # across scene ticks, and jnp.asarray of an existing device
+            # array is a no-op — so animated re-uploads skip the multi-MB
+            # texture transfer entirely.
+            self._textures_np = jnp.asarray(pack_quad_table(self._textures_np))
         self.scene: DeviceScene = build_device_scene(
             self.world, textures=self._textures_np)
         n_world_tris = self._world_tri_count()
