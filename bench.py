@@ -79,10 +79,13 @@ def build(scene_name, obj_source=None, glb_data=None, width=512, height=512):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("width", "height", "spp", "depth", "n"))
+                   static_argnames=("width", "height", "spp", "depth"))
 def _chained_frames(wt, tex, camera, *, width, height, spp, depth, n):
     """n progressive frames chained on device; returns (mean-radiance sum,
-    exact total rays traced)."""
+    exact total rays traced). `n` is DYNAMIC on purpose: with a static
+    bound XLA unrolls the frame loop and the unrolled program runs ~18%
+    slower (14.9 vs 12.3 ms/frame, measured) — and a dynamic bound means
+    one compile covers every n."""
     from webgpu_raytracer_tpu.ops.dense_trace import trace_pixels_dense
 
     def body(i, acc):
@@ -97,18 +100,28 @@ def _chained_frames(wt, tex, camera, *, width, height, spp, depth, n):
 
 
 def measure(wt, scene, camera, width, height, spp, depth, n, rt):
+    """MARGINAL chained timing: time(run(n)) - time(run(n2)) cancels every
+    fixed cost — dispatch, readback, and the tunneled chip's (highly
+    variable) round-trip latency — so the result is pure device throughput.
+    The older absolute-minus-rt method swung 15% with tunnel weather."""
     run = lambda k: _chained_frames(wt, scene.textures, camera, width=width,
                                     height=height, spp=spp, depth=depth, n=k)
-    s, rays = run(n)  # warm (compile)
-    rays_total = float(np.asarray(rays))
+    n2 = max(1, n // 4)
+    s, rays_n = run(n)   # warm (compile) both shapes
+    rays_2 = float(np.asarray(run(n2)[1]))
+    rays_total = float(np.asarray(rays_n))
     mean_rad = float(np.asarray(s)) / n
     best = float("inf")
     for _ in range(REPEATS):
         t0 = time.perf_counter()
+        np.asarray(run(n2)[0])
+        t2 = time.perf_counter() - t0
+        t0 = time.perf_counter()
         np.asarray(run(n)[0])
-        best = min(best, time.perf_counter() - t0)
-    dt = max(best - rt, 1e-6)
-    return rays_total / dt / 1e6, mean_rad, rays_total / n
+        tn = time.perf_counter() - t0
+        best = min(best, max(tn - t2, 1e-6))
+    d_rays = rays_total - rays_2
+    return d_rays / best / 1e6, mean_rad, rays_total / n
 
 
 def emit(metric, value, unit, vs=None, **extra):
