@@ -497,16 +497,12 @@ def ray_color_dense(wt: WorldTris, textures, ro: V3, rd: V3, rng,
         found = do_next & (nhit.wt >= 0)
         active = jnp.where(depth < max_depth - 1, found, active)
 
-        hit = DenseHit(
-            rowT=jnp.where(found[None, :], nhit.rowT, s.hit.rowT),
-            wt=jnp.where(found, nhit.wt, s.hit.wt),
-            hit_t=jnp.where(found, nhit.hit_t, s.hit.hit_t),
-            tex_u=jnp.where(found, nhit.tex_u, s.hit.tex_u),
-            tex_v=jnp.where(found, nhit.tex_v, s.hit.tex_v),
-            normal=where(found, nhit.normal, normal),
-            geom_n=where(found, nhit.geom_n, geom_n),
-            albedo=where(found, nhit.albedo, s.hit.albedo),
-        )
+        # No found/stale select: lanes with found == False are inactive next
+        # bounce and EVERY downstream contribution is active-gated, so they
+        # may carry nhit's zero rows freely. (The old (40, R) select alone
+        # moved ~120 MB per bounce.) Only hit_t needs clamping: T_MAX
+        # squared overflows f32 in the NEE distance terms.
+        hit = nhit._replace(hit_t=jnp.where(found, nhit.hit_t, 0.0))
 
         rays = s.rays + nee_lane.sum(dtype=jnp.float32) \
             + do_next.sum(dtype=jnp.float32)
@@ -515,6 +511,100 @@ def ray_color_dense(wt: WorldTris, textures, ro: V3, rd: V3, rng,
 
     out = jax.lax.fori_loop(0, max_depth, body, state)
     return out.radiance, out.rng, out.rays
+
+
+def ray_color_dense_rows(wt: WorldTris, textures, ro: V3, rd: V3, rng,
+                         max_depth: int, hit0: DenseHit | None = None,
+                         interpret: bool = False):
+    """Row-state bounce loop: ONE Pallas shade kernel + one fused sweep per
+    bounce (ops/shade_rows.py). Estimator-identical to ray_color_dense —
+    same RNG streams, same sequencing — restricted to the 1x1 white texture
+    operand. The ~30 jnp shading fusions per bounce (launch-overhead-bound
+    at 512^2) collapse into the kernel."""
+    from .pallas_dense import pallas_closest_with_row
+    from .shade_rows import LROWS_PAD, pallas_shade
+
+    R = ro.x.shape[0]
+    f32 = jnp.float32
+    if hit0 is None:
+        _, idx0, rowT0 = pallas_closest_with_row(
+            wt, (ro.x, ro.y, ro.z), (rd.x, rd.y, rd.z),
+            active=jnp.ones(R, bool), interpret=interpret)
+        primary_rays = float(R)
+    else:
+        idx0, rowT0 = hit0.wt, hit0.rowT
+        primary_rays = 0.0
+    idxf = idx0.astype(f32)
+    zeros = jnp.zeros((R,), f32)
+    ones = jnp.ones((R,), f32)
+    state = jnp.stack([
+        ones,                                   # 0  active
+        ro.x, ro.y, ro.z, rd.x, rd.y, rd.z,     # 1-6 ray
+        ones, ones, ones,                       # 7-9 throughput
+        zeros, zeros, zeros,                    # 10-12 radiance
+        zeros,                                  # 13 prev_pdf
+        ones,                                   # 14 specular_bounce
+        zeros,                                  # 15 nee_prev
+        zeros, zeros, zeros,                    # 16-18 pending_nee
+        ones,                                   # 19 occluded_prev
+    ])
+    lp = wt.light_rows.shape[0]
+    lrowsT = jnp.pad(wt.light_rows.T.astype(f32),
+                     ((0, 0), (0, LROWS_PAD - lp)))
+    light_count = wt.light_count
+
+    def body(depth, carry):
+        def _iter(carry):
+            state, rng, rowT, idxf, rays = carry
+            out, rng = pallas_shade(state, rng, rowT, idxf, lrowsT, depth,
+                                    light_count, max_depth,
+                                    interpret=interpret)
+            cat = jnp.concatenate
+            ro2 = (cat([out[19], out[1]]), cat([out[20], out[2]]),
+                   cat([out[21], out[3]]))
+            rd2 = (cat([out[22], out[4]]), cat([out[23], out[5]]),
+                   cat([out[24], out[6]]))
+            tmax2 = cat([out[25], jnp.where(out[26] > 0.5, T_MAX, 0.0)])
+            _, idx2, rowT2 = pallas_closest_with_row(
+                wt, ro2, rd2, t_max=tmax2,
+                active=jnp.ones(2 * R, bool), row_from_lane=R,
+                interpret=interpret)
+            occluded = (idx2[:R] >= 0).astype(f32)
+            state_next = cat([out[0:19], occluded[None, :]], axis=0)
+            rays = rays + out[15].sum() + out[26].sum()
+            return (state_next, rng, rowT2[:, R:], idx2[R:].astype(f32),
+                    rays)
+
+        state, _, _, idxf, _ = carry
+        any_live = jnp.any((state[0] > 0.5) & (idxf >= 0.0))
+        return jax.lax.cond(any_live, _iter, lambda c: c, carry)
+
+    state, rng, _, _, rays = jax.lax.fori_loop(
+        0, max_depth, body,
+        (state, rng, rowT0, idxf, jnp.asarray(primary_rays, f32)))
+
+    take = (state[15] > 0.5) & ~(state[19] > 0.5)
+    g = jnp.where(take, 1.0, 0.0)
+    radiance = V3(state[10] + state[16] * g, state[11] + state[17] * g,
+                  state[12] + state[18] * g)
+    return radiance, rng, rays
+
+
+def _rows_path_ok(textures, wt: WorldTris) -> bool:
+    """Opt-in (WRT_SHADE_KERNEL=1): the monolithic shade kernel measured
+    ~1.5-2 ms/frame SLOWER than the jnp pipeline on cornell 512^2 d8
+    (12.8-13.4 vs 11.1-11.3 ms, in-process A/B on v5e) — XLA's fusion
+    scheduling beats Mosaic's codegen for this ~300-op elementwise body
+    (emulated u32 multiplies, per-tile one-hot light fetch, no cross-fusion
+    register reuse). Kept as a tested experimental path; covers the 1x1
+    white placeholder texture only."""
+    import os
+
+    from .shade_rows import LROWS_PAD
+
+    return (os.environ.get("WRT_SHADE_KERNEL") == "1"
+            and _use_pallas() and textures.shape == (1, 1, 1, 3)
+            and wt.light_rows.shape[0] <= LROWS_PAD)
 
 
 def trace_pixels_dense(wt: WorldTris, textures, camera24, frame_count, jitter,
@@ -582,8 +672,10 @@ def trace_pixels_dense(wt: WorldTris, textures, camera24, frame_count, jitter,
         hit0 = None
         if seed_wt_idx is not None:
             hit0 = seed_hit_from_wt_idx(wt, textures, seed_wt_idx, ro, d)
-        col, _, rays = ray_color_dense(wt, textures, ro, d, rng, max_depth,
-                                       hit0=hit0)
+        tracer = (ray_color_dense_rows if _rows_path_ok(textures, wt)
+                  else ray_color_dense)
+        col, _, rays = tracer(wt, textures, ro, d, rng, max_depth,
+                              hit0=hit0)
         ax, ay, az, ar = acc
         return (ax + col.x, ay + col.y, az + col.z, ar + rays)
 

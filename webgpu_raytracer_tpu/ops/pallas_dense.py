@@ -626,7 +626,8 @@ def pallas_closest(wt: WorldTris, ro, rd, t_min=1e-3, t_max=T_MAX, active=None):
 
 
 def pallas_closest_with_row(wt: WorldTris, ro, rd, t_min=1e-3, t_max=T_MAX,
-                            active=None, row_from_lane: int = 0):
+                            active=None, row_from_lane: int = 0,
+                            interpret: bool = False):
     """Closest hit + fused shade-row fetch: (t, idx, rowT (SHADE_K, R)).
 
     row_from_lane: lanes below this index skip the row fetch (their rowT
@@ -636,7 +637,8 @@ def pallas_closest_with_row(wt: WorldTris, ro, rd, t_min=1e-3, t_max=T_MAX,
     if active is None:
         active = jnp.ones(ro[0].shape[0], bool)
     return _run(wt, ro, rd, t_max, active, float(t_min), any_hit=False,
-                with_row=True, row_from_lane=row_from_lane)
+                with_row=True, row_from_lane=row_from_lane,
+                interpret=interpret)
 
 
 def pallas_shadow(wt: WorldTris, ro, rd, t_max, t_min=1e-3, active=None):

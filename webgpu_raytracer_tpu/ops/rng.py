@@ -28,12 +28,20 @@ def init_rng(pixel_idx: jnp.ndarray, frame: jnp.ndarray) -> jnp.ndarray:
 
 
 def rand_pcg(state: jnp.ndarray):
-    """One PCG draw. Returns (new_state, uniform f32 in [0, 1])."""
+    """One PCG draw. Returns (new_state, uniform f32 in [0, 1]).
+
+    The u32 -> f32 conversion is split 16/16 (both halves exact in f32, one
+    final rounding) — BITWISE identical to a direct convert, but Mosaic
+    (the Pallas TPU compiler) supports only the integer casts involved."""
     old = state
     state = old * _U32(747796405) + _U32(2891336453)
     word = (state >> ((old >> 28) + _U32(4))) ^ state
     word = (word >> 22) ^ word
-    return state, word.astype(jnp.float32) / jnp.float32(4294967295.0)
+    word_f = ((word >> 16).astype(jnp.int32).astype(jnp.float32)
+              * jnp.float32(65536.0)
+              + (word & _U32(0xFFFF)).astype(jnp.int32)
+              .astype(jnp.float32))
+    return state, word_f / jnp.float32(4294967295.0)
 
 
 def rand_n(state: jnp.ndarray, n: int):
