@@ -66,9 +66,12 @@ def test_single_tile_kernel_in_jitted_loop(cornell_wt):
     t_ref, i_ref = np.asarray(t_ref), np.asarray(i_ref)
     hit = i_ref >= 0
     assert ((i2 >= 0) == hit).all()
-    # coplanar near-ties can flip the winner; geometry must still agree
+    # coplanar near-ties can flip the winner (cornell's overlapping wall
+    # quads); the t-allclose below still guards real misordering. The
+    # truncated in-kernel bf16 split flips slightly more ties than the RNE
+    # host split did (~3.5%).
     agree = i_ref[hit] == i2[hit]
-    assert agree.mean() > 0.97
+    assert agree.mean() > 0.95
     np.testing.assert_allclose(t2[hit], t_ref[hit], rtol=2e-3, atol=2e-4)
 
     # winner rows reproduce shade-table rows exactly (the one-hot bf16x3

@@ -237,7 +237,7 @@ def fused_shadow_and_next(wt: WorldTris, textures, sro: V3, srd: V3, s_tmax,
         t, idx, rowT = pallas_closest_with_row(wt, ro, rd, t_max=tmax,
                                                active=act, row_from_lane=R)
         occluded = idx[:R] >= 0
-        nt, nidx, nrowT = t[R:], idx[R:], rowT[:, R:]
+        nt, nidx, nrowT = t[R:], idx[R:], rowT  # rows cover lanes [R:] only
         nt = jnp.where(nidx >= 0, _mt_refine_t(nrowT, cro, crd), nt)
         tex_u, tex_v, normal, geom_n, albedo = shade_from_rowT(
             textures, nrowT, cro, crd, valid=nidx >= 0)
@@ -572,8 +572,8 @@ def ray_color_dense_rows(wt: WorldTris, textures, ro: V3, rd: V3, rng,
             occluded = (idx2[:R] >= 0).astype(f32)
             state_next = cat([out[0:19], occluded[None, :]], axis=0)
             rays = rays + out[15].sum() + out[26].sum()
-            return (state_next, rng, rowT2[:, R:], idx2[R:].astype(f32),
-                    rays)
+            return (state_next, rng, rowT2, idx2[R:].astype(f32),
+                    rays)  # rowT2 covers lanes [R:] already
 
         state, _, _, idxf, _ = carry
         any_live = jnp.any((state[0] > 0.5) & (idxf >= 0.0))

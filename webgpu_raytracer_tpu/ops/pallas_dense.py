@@ -52,13 +52,17 @@ def _split2(x):
     return hi, lo
 
 
-def _kernel(scalars_ref, featk3_ref, rayk3_ref, rayf_ref, tmax_ref,
-            sph_ref, shadek3_ref, *out_refs,
+def _kernel(scalars_ref, featk3_ref, rays8_ref, sph_ref, shadek3_ref,
+            *out_refs,
             t_min: float, any_hit: bool, with_row: bool, c_tile: int):
     # scalars: [valid_tri_count (unused; padding tris self-cull via td==0),
     # first_row_tile] — ray tiles below first_row_tile skip the shade-row
     # fetch (the fused per-bounce call packs shadow lanes first; they never
     # read rows).
+    # rays8: (8, M) f32 [rdx, rdy, rdz, rox, roy, roz, t_max, pad] — the
+    # Plucker features + bf16x3 split operand are DERIVED IN-KERNEL, which
+    # cuts the per-sweep input traffic from 328 KB to 64 KB per tile and
+    # removes the jnp-side stack/split/concat fusions (~0.18 ms/bounce).
     if with_row:
         out_t_ref, out_i_ref, out_row_ref = out_refs
     else:
@@ -66,50 +70,78 @@ def _kernel(scalars_ref, featk3_ref, rayk3_ref, rayf_ref, tmax_ref,
     i = pl.program_id(0)
     j = pl.program_id(1)
 
+    dxv = rays8_ref[0:1, :]
+    dyv = rays8_ref[1:2, :]
+    dzv = rays8_ref[2:3, :]
+    oxv = rays8_ref[3:4, :]
+    oyv = rays8_ref[4:5, :]
+    ozv = rays8_ref[5:6, :]
+    tmax_v = rays8_ref[6:7, :]
+
     @pl.when(j == 0)
     def _init():
         if any_hit:
             out_t_ref[:] = jnp.zeros_like(out_t_ref)
         else:
-            out_t_ref[:] = tmax_ref[:]
+            out_t_ref[:] = tmax_v
         out_i_ref[:] = jnp.full_like(out_i_ref, -1.0)
         if with_row:
             out_row_ref[:] = jnp.zeros_like(out_row_ref)
 
     # --- Cluster cull: skip this (ray tile, tri tile) step entirely when no
     # ray segment can touch the tile's bounding sphere. Division-free
-    # ray/sphere interval test in f32 (rayf rows: d = 0..2, o = 6..8); for
-    # closest-hit the per-lane interval tightens with the running best t.
+    # ray/sphere interval test in f32; for closest-hit the per-lane interval
+    # tightens with the running best t.
     cx, cy, cz, r = (sph_ref[0, 0, 0], sph_ref[0, 0, 1], sph_ref[0, 0, 2],
                      sph_ref[0, 0, 3])
-    dx, dy, dz = rayf_ref[0:1, :], rayf_ref[1:2, :], rayf_ref[2:3, :]
-    ocx = rayf_ref[6:7, :] - cx
-    ocy = rayf_ref[7:8, :] - cy
-    ocz = rayf_ref[8:9, :] - cz
+    dx, dy, dz = dxv, dyv, dzv
+    ocx = oxv - cx
+    ocy = oyv - cy
+    ocz = ozv - cz
     b = dx * ocx + dy * ocy + dz * ocz
     dd = dx * dx + dy * dy + dz * dz
     cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
     disc = b * b - dd * cc
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     if any_hit:
-        lane_tmax = jnp.where(out_t_ref[:] > 0.0, 0.0, tmax_ref[:])
+        lane_tmax = jnp.where(out_t_ref[:] > 0.0, 0.0, tmax_v)
     else:
-        lane_tmax = jnp.minimum(tmax_ref[:], out_t_ref[:])
+        lane_tmax = jnp.minimum(tmax_v, out_t_ref[:])
     possible = (disc >= 0.0) & (lane_tmax > 0.0) \
         & (-b + sq >= dd * t_min) & (-b - sq <= dd * lane_tmax)
     any_possible = (r >= 0.0) & (jnp.max(possible.astype(jnp.float32)) > 0.0)
 
     @pl.when(any_possible)
     def _tile_work():
+        # Ray features [d, o x d, o, 1, 0...] + bf16x3 split, derived here
+        # per tile (VPU; operands stay in VMEM).
+        mxv = oyv * dzv - ozv * dyv
+        myv = ozv * dxv - oxv * dzv
+        mzv = oxv * dyv - oyv * dxv
+        onesv = jnp.ones_like(dxv)
+        zerosv = jnp.zeros_like(dxv)
+        rayf = jnp.concatenate(
+            [dxv, dyv, dzv, mxv, myv, mzv, oxv, oyv, ozv, onesv,
+             zerosv, zerosv, zerosv, zerosv, zerosv, zerosv], axis=0)
+        # Cancellation-proof split: Mosaic lacks optimization_barrier, and
+        # interpret mode inlines into XLA where the excess-precision rule
+        # cancels a bf16 round trip (the round-1 wrong-hits bug). Masking
+        # the low mantissa bits via bitcast creates no convert pair to
+        # cancel; the f32->bf16 convert of the masked value is EXACT.
+        xb = jax.lax.bitcast_convert_type(rayf, jnp.uint32)
+        hi_f = jax.lax.bitcast_convert_type(xb & jnp.uint32(0xFFFF0000),
+                                            jnp.float32)
+        rh = hi_f.astype(jnp.bfloat16)
+        rl = (rayf - hi_f).astype(jnp.bfloat16)
+        rayk3 = jnp.concatenate([rh, rl, rh], axis=0)       # (3K, M)
+
         # bf16x3 split product: Mosaic's f32 dot is 6 bf16 passes (HIGHEST)
-        # or a single quantizing pass (DEFAULT). The operands arrive
-        # pre-split into bf16 hi/lo parts with the three significant cross
-        # terms (fh@rh + fh@rl + fl@rh) packed along K (built in _run;
-        # in-kernel splitting compiles pathologically slowly in Mosaic) —
-        # ~f32 accuracy (error ~2^-16 relative, validated vs the f64 oracle)
-        # in ONE pass at 3x the systolic K-utilization.
+        # or a single quantizing pass (DEFAULT). The three significant cross
+        # terms (fh@rh + fh@rl + fl@rh) are packed along K — ~f32 accuracy
+        # (error ~2^-16 relative, validated vs the f64 oracle) in ONE pass
+        # at 3x the systolic K-utilization.
         resT = jax.lax.dot_general(
-            featk3_ref[0], rayk3_ref[:],
+            featk3_ref[0], rayk3,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         s0 = resT[0 * c_tile : 1 * c_tile]
@@ -127,7 +159,7 @@ def _kernel(scalars_ref, featk3_ref, rayk3_ref, rayf_ref, tmax_ref,
         t = tn / jnp.where(ok, td, 1.0)
 
         col = j * c_tile + jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-        ok = ok & (t > t_min) & (t < tmax_ref[:])
+        ok = ok & (t > t_min) & (t < tmax_v)
 
         if any_hit:
             hit_any = jnp.max(ok.astype(jnp.float32), axis=0, keepdims=True)
@@ -183,28 +215,28 @@ def _run(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
     rox, roy, roz = ro
     rdx, rdy, rdz = rd
     R = rox.shape[0]
-    rayfT = rayf_from_components(rox, roy, roz, rdx, rdy, rdz)
+    ones = jnp.ones((R,), jnp.float32)
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
     t_max = jnp.where(active, t_max, 0.0)
+    rays8 = jnp.stack([rdx * ones, rdy * ones, rdz * ones, rox * ones,
+                       roy * ones, roz * ones, t_max,
+                       jnp.zeros((R,), jnp.float32)], axis=0)
 
     r_pad = (-R) % M_TILE
     if r_pad:
-        rayfT = jnp.pad(rayfT, ((0, 0), (0, r_pad)))
-        t_max = jnp.pad(t_max, (0, r_pad))
+        rays8 = jnp.pad(rays8, ((0, 0), (0, r_pad)))
     rp = R + r_pad
 
     # Scene-side operands (featk3 / spheres / shadek3) are precomputed per
     # scene update in build_world_tris — building them in-jit cost ~1.5 ms of
-    # small-op dispatch PER SWEEP (measured on v5e, round 2).
+    # small-op dispatch PER SWEEP (measured on v5e, round 2). Ray-side
+    # operands (Plucker features + bf16x3 split) are derived IN-KERNEL from
+    # the slim (8, R) component stack.
     featk3 = wt.featk3
     spheres = wt.spheres
     shadek3 = wt.shadek3
     n_tri_tiles = featk3.shape[0]
     c = featk3.shape[2] // 5
-
-    # Ray-side operand: pre-split for the kernel's single-pass bf16x3 dot.
-    rh, rl = _split2(rayfT)
-    rayk3 = jnp.concatenate([rh, rl, rh], axis=0)    # (3K, Rp)
 
     n_ray_tiles = rp // M_TILE
     first_row_tile = 0
@@ -222,18 +254,25 @@ def _run(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
         jax.ShapeDtypeStruct((1, rp), jnp.float32),
     ]
     if with_row:
-        out_specs.append(pl.BlockSpec((SHADE_K, M_TILE),
-                                      lambda i, j, v: (0, i)))
-        out_shape.append(jax.ShapeDtypeStruct((SHADE_K, rp), jnp.float32))
+        # Rows are emitted ONLY for lanes >= row_from_lane (the fused call's
+        # closest half): shadow tiles map to one trailing dummy block (their
+        # never-written buffer copy-out lands there, order-independent), so
+        # the row output is half-sized and the caller needs no 40-row slice.
+        frt = first_row_tile
+        n_row_blocks = n_ray_tiles - frt + (1 if frt else 0)
+        out_specs.append(pl.BlockSpec(
+            (SHADE_K, M_TILE),
+            lambda i, j, v, frt=frt, nb=n_row_blocks:
+                (0, jnp.where(i < frt, nb - 1, i - frt))))
+        out_shape.append(jax.ShapeDtypeStruct(
+            (SHADE_K, n_row_blocks * M_TILE), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_ray_tiles, n_tri_tiles),
         in_specs=[
             pl.BlockSpec((1, 3 * FEAT_K, 5 * c), lambda i, j, v: (j, 0, 0)),
-            pl.BlockSpec((3 * FEAT_K, M_TILE), lambda i, j, v: (0, i)),
-            pl.BlockSpec((FEAT_K, M_TILE), lambda i, j, v: (0, i)),
-            pl.BlockSpec((1, M_TILE), lambda i, j, v: (0, i)),
+            pl.BlockSpec((8, M_TILE), lambda i, j, v: (0, i)),
             pl.BlockSpec((1, 1, 128), lambda i, j, v: (j, 0, 0)),
             pl.BlockSpec((1, SHADE_KP, 3 * c), lambda i, j, v: (j, 0, 0)),
         ],
@@ -249,7 +288,7 @@ def _run(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(scalars, featk3, rayk3, rayfT, t_max[None, :], spheres, shadek3)
+    )(scalars, featk3, rays8, spheres, shadek3)
 
     out_t, out_i = outs[0], outs[1]
     if any_hit:
@@ -257,7 +296,10 @@ def _run(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
     t = out_t[0, :R]
     idx = out_i[0, :R].astype(jnp.int32)
     if with_row:
-        return t, idx, outs[2][:, :R]
+        # Contract: rows are returned for lanes [row_from_lane:] only.
+        start = row_from_lane - first_row_tile * M_TILE
+        rows = outs[2][:, start:start + (R - row_from_lane)]
+        return t, idx, rows
     return t, idx
 
 
@@ -605,7 +647,8 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
         backT = outs[2].T[inv_perm[:R], :].T        # (SHADE_KP, R)
         t = backT[SHADE_K]
         idx = backT[SHADE_K + 1].astype(jnp.int32)
-        return t, idx, backT[:SHADE_K]
+        # Contract: rows for lanes [row_from_lane:] only.
+        return t, idx, backT[:SHADE_K, row_from_lane:]
     inv = inv_perm[:R]
     return out_t[0, inv], out_i[0, inv].astype(jnp.int32)
 
@@ -628,11 +671,12 @@ def pallas_closest(wt: WorldTris, ro, rd, t_min=1e-3, t_max=T_MAX, active=None):
 def pallas_closest_with_row(wt: WorldTris, ro, rd, t_min=1e-3, t_max=T_MAX,
                             active=None, row_from_lane: int = 0,
                             interpret: bool = False):
-    """Closest hit + fused shade-row fetch: (t, idx, rowT (SHADE_K, R)).
+    """Closest hit + fused shade-row fetch: (t, idx, rowT).
 
-    row_from_lane: lanes below this index skip the row fetch (their rowT
-    output stays zero) — used by the fused shadow+next sweep whose first R
-    lanes are shadow rays. Applied only when tile-aligned."""
+    row_from_lane: lanes below this index skip the row fetch, and the
+    returned rowT covers lanes [row_from_lane:] ONLY (shape
+    (SHADE_K, R - row_from_lane)) — the fused shadow+next sweep's shadow
+    half never reads rows, so no 40-row copy materializes for it."""
     ro, rd = _v3_of(ro), _v3_of(rd)
     if active is None:
         active = jnp.ones(ro[0].shape[0], bool)
