@@ -13,8 +13,11 @@ directions):
 - Ray counts are EXACT: ray_color_dense counts primary + NEE shadow +
   extension lanes actually traced (ops/dense_trace.py), measured for the
   same frame sequence that is timed — no assumed path-decay model.
-- `--check` asserts the cornell mean radiance against the golden value so
-  every bench run on real hardware doubles as a correctness gate.
+- Correctness gating is DEFAULT-ON: each config's mean radiance is asserted
+  against its TPU-recorded golden value (GOLDENS) and reported as
+  "golden_ok" per metric line; any deviation exits nonzero after all lines
+  print. `--no-check` opts out; unrecorded goldens emit "golden_mean" for
+  recording instead.
 """
 
 from __future__ import annotations
@@ -32,9 +35,17 @@ import numpy as np
 BASELINE_MRAYS = 200.0
 REPEATS = 3  # best-of-N: the tunneled chip shows contention noise
 
-# Golden mean radiance for cornell 512x512 d8, frames 1..8 accumulated
-# (recorded from the oracle-validated build; MC tolerance ~2%).
-GOLDEN_CORNELL_MEAN = 0.3040
+# Golden mean radiance per config (recorded from oracle-validated TPU runs;
+# MC tolerance ~2%). The gate is DEFAULT-ON: every bench run on real
+# hardware doubles as a correctness check (--no-check to opt out; a None
+# value emits the measured mean for recording instead of gating).
+GOLDENS = {
+    "cornell": 0.3040,
+    "cornell_1080p": 0.1766,
+    "gem": None,       # pending TPU recording (this round)
+    "spheres": None,
+    "textured": None,
+}
 GOLDEN_TOL = 0.02
 
 # A gem-like convex OBJ standing in for the reference's bundled diamond.obj
@@ -132,8 +143,28 @@ def emit(metric, value, unit, vs=None, **extra):
     print(json.dumps(rec), flush=True)
 
 
+_golden_failures: list = []
+
+
+def golden_fields(name, mean_rad, check):
+    """Per-config golden gate: {"golden_ok": bool} when gating (default), the
+    measured mean for recording when the golden is unrecorded or gating is
+    off. A failed gate is also collected so main() can exit nonzero AFTER all
+    metric lines print (the driver reads the trailing headline line)."""
+    golden = GOLDENS.get(name)
+    if golden is None or not check:
+        return {"golden_mean": round(mean_rad, 4)}
+    err = abs(mean_rad - golden) / abs(golden)
+    ok = bool(err < GOLDEN_TOL)
+    if not ok:
+        _golden_failures.append(
+            f"{name}: mean {mean_rad:.4f} deviates {err:.1%} "
+            f"from golden {golden}")
+    return {"golden_ok": ok}
+
+
 def main(argv):
-    check = "--check" in argv
+    check = "--no-check" not in argv  # correctness gate is DEFAULT-ON
     quick = "--quick" in argv
     rt = tunnel_rt()
 
@@ -142,20 +173,17 @@ def main(argv):
     n = 8 if quick else 32
     mrays_cornell, mean_rad, rays_pf = measure(
         wt, scene, camera, 512, 512, 1, 8, n, rt)
-    if check:
-        err = abs(mean_rad - GOLDEN_CORNELL_MEAN) / GOLDEN_CORNELL_MEAN
-        assert err < GOLDEN_TOL, (
-            f"cornell mean radiance {mean_rad:.4f} deviates "
-            f"{err:.1%} from golden {GOLDEN_CORNELL_MEAN}")
+    headline_golden = golden_fields("cornell", mean_rad, check)
 
     if not quick:
         # --- cornell at 1080p (the BASELINE north-star resolution) ---
         try:
             world.update_camera(1920, 1080)
             cam_hd = jnp.asarray(world.camera())
-            v, _, rpf = measure(wt, scene, cam_hd, 1920, 1080, 1, 8, 8, rt)
+            v, m, rpf = measure(wt, scene, cam_hd, 1920, 1080, 1, 8, 8, rt)
             emit("cornell_1080p_d8_mrays_per_sec_per_chip", v, "Mrays/s",
-                 spp_per_sec_1080p=round(v * 1e6 / rpf, 2))
+                 spp_per_sec_1080p=round(v * 1e6 / rpf, 2),
+                 **golden_fields("cornell_1080p", m, check))
         except Exception as e:
             emit("cornell_1080p_d8_mrays_per_sec_per_chip", -1.0, "Mrays/s",
                  error=str(e)[:120])
@@ -163,16 +191,18 @@ def main(argv):
         # --- config 1: gem OBJ on the viewer pedestal, 256x256 d5 ---
         _, wt1, sc1, cam1 = build("viewer", obj_source=GEM_OBJ,
                                   width=256, height=256)
-        v, _, _ = measure(wt1, sc1, cam1, 256, 256, 1, 5, 32, rt)
-        emit("gem_obj_256_d5_mrays_per_sec_per_chip", v, "Mrays/s")
+        v, m, _ = measure(wt1, sc1, cam1, 256, 256, 1, 5, 32, rt)
+        emit("gem_obj_256_d5_mrays_per_sec_per_chip", v, "Mrays/s",
+             **golden_fields("gem", m, check))
 
         # --- large scene: spheres preset (257k tris) via the two-level
         # culled sweep (ops/pallas_dense._run2 + coherence sort) ---
         try:
             _, wts, scs, cams = build("spheres")
-            v, _, rpf = measure(wts, scs, cams, 512, 512, 1, 8, 4, rt)
+            v, m, rpf = measure(wts, scs, cams, 512, 512, 1, 8, 4, rt)
             emit("spheres_257k_512_d8_mrays_per_sec_per_chip", v, "Mrays/s",
-                 ms_per_frame=round(rpf / max(v, 1e-9) / 1e3, 1))
+                 ms_per_frame=round(rpf / max(v, 1e-9) / 1e3, 1),
+                 **golden_fields("spheres", m, check))
         except Exception as e:
             emit("spheres_257k_512_d8_mrays_per_sec_per_chip", -1.0,
                  "Mrays/s", error=str(e)[:120])
@@ -184,9 +214,10 @@ def main(argv):
             _, wt3, sc3, cam3 = build("viewer",
                                       glb_data=textured_quad_glb(),
                                       width=1920, height=1080)
-            v, _, rpf = measure(wt3, sc3, cam3, 1920, 1080, 1, 8, 8, rt)
+            v, m, rpf = measure(wt3, sc3, cam3, 1920, 1080, 1, 8, 8, rt)
             emit("textured_glb_1080p_d8_mrays_per_sec_per_chip", v,
-                 "Mrays/s", spp_per_sec_1080p=round(v * 1e6 / rpf, 2))
+                 "Mrays/s", spp_per_sec_1080p=round(v * 1e6 / rpf, 2),
+                 **golden_fields("textured", m, check))
         except Exception as e:  # keep the headline robust
             emit("textured_glb_1080p_d8_mrays_per_sec_per_chip", -1.0,
                  "Mrays/s", error=str(e)[:120])
@@ -232,7 +263,11 @@ def main(argv):
 
     # headline LAST (the driver records the trailing JSON line)
     emit("cornell_512_d8_mrays_per_sec_per_chip", mrays_cornell, "Mrays/s",
-         vs=mrays_cornell / BASELINE_MRAYS)
+         vs=mrays_cornell / BASELINE_MRAYS, **headline_golden)
+    if _golden_failures:
+        print("GOLDEN CHECK FAILED:\n  " + "\n  ".join(_golden_failures),
+              file=sys.stderr, flush=True)
+        return 1
     return 0
 
 

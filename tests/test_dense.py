@@ -73,6 +73,28 @@ def test_dense_trace_matches_bvh_trace():
     assert abs(a.mean() - b.mean()) < 1e-4
 
 
+def test_banded_trace_bit_identical(monkeypatch):
+    """Row-band strip-mining (the 1080p working-set fix) must not change a
+    single bit: per-lane RNG and arithmetic are band-invariant."""
+    import webgpu_raytracer_tpu.ops.dense_trace as dt
+
+    world = NativeWorld("cornell")
+    world.update_camera(48, 48)
+    scene = build_device_scene(world)
+    wt = build_world_tris(world)
+    cam = jnp.asarray(world.camera())
+    fc = jnp.asarray(2, jnp.int32)
+    j = jnp.zeros(2, jnp.float32)
+    args = (wt, scene.textures, cam, fc, j, 48, 48, 1, 5)
+    a, ra = dt.trace_pixels_dense(*args, with_stats=True)
+    monkeypatch.setattr(dt, "BAND_MIN_R", 0)
+    monkeypatch.setattr(dt, "BAND_TARGET", 48 * 12)
+    assert dt._pick_bands(48, 48) == 4
+    b, rb = dt.trace_pixels_dense(*args, with_stats=True)
+    assert (np.asarray(a) == np.asarray(b)).all()
+    assert float(ra) == float(rb)
+
+
 def test_dense_lights_mapping():
     world = NativeWorld("cornell")
     wt = build_world_tris(world)

@@ -1,0 +1,43 @@
+"""A/B: cornell 1080p d8 with and without row-band strip-mining.
+
+Run on the TPU: python tools/ab_band_1080p.py [width height [depth]]
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from bench import build, measure, tunnel_rt  # noqa: E402
+import webgpu_raytracer_tpu.ops.dense_trace as dt  # noqa: E402
+
+
+def main():
+    w = int(sys.argv[1]) if len(sys.argv) > 1 else 1920
+    h = int(sys.argv[2]) if len(sys.argv) > 2 else 1080
+    depth = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    rt = tunnel_rt()
+    world, wt, scene, camera = build("cornell", width=w, height=h)
+
+    for name, target in (("banded-10", 210000), ("banded-12", 175000),
+                         ("banded-15", 140000), ("banded-18", 115200),
+                         ("banded-24", 86500), ("banded-36", 57600),
+                         ("banded-54", 38400)):
+        dt.BAND_TARGET = target
+        # BAND_TARGET is module state read at trace time, not a jit cache
+        # key: without this the second variant silently reuses the first
+        # variant's compiled executable.
+        jax.clear_caches()
+        nb = dt._pick_bands(w, h)
+        t0 = time.perf_counter()
+        v, mean_rad, rpf = measure(wt, scene, camera, w, h, 1, depth, 8, rt)
+        print(f"{name}: bands={nb} {v:.2f} Mrays/s  mean={mean_rad:.4f} "
+              f"rays/frame={rpf/1e6:.2f}M  (wall {time.perf_counter()-t0:.0f}s)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

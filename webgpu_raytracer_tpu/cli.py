@@ -69,12 +69,16 @@ def cmd_render(args):
     import numpy as np
     from PIL import Image
 
+    from .utils.profiling import FrameStats
+
     r = _make_renderer(args)
+    use_gbuffer = getattr(args, "gbuffer", False)
     print(f"[render] scene={args.scene} {args.width}x{args.height} "
-          f"depth={args.depth} backend={r.backend}")
+          f"depth={args.depth} backend={r.backend}"
+          + (" gbuffer" if use_gbuffer else ""))
     t_start = time.perf_counter()
     last_stats = t_start
-    frame_ms = 0.0
+    stats = FrameStats(args.width, args.height, args.shader_spp, args.depth)
     animate = getattr(args, "animate", False)
     interval = max(1, r.config.update_interval)
     tick_fps = max(1, getattr(args, "fps", 30))
@@ -91,16 +95,16 @@ def cmd_render(args):
             r.bridge.wait()
             r.reupload_scene(reset=True)
             pending = None
-        r.render_frame()
+        r.render_frame(use_gbuffer=use_gbuffer)
         if animate:
             r.present()  # advance TAA history every tick like the rAF loop
         np.asarray(r.accum)
-        frame_ms = (time.perf_counter() - t0) * 1000
+        # Exact traced-ray count for this frame (device scalar from the
+        # render step) — the stats line reports MEASURED Mrays/s.
+        stats.record(time.perf_counter() - t0, float(np.asarray(r.last_rays)))
         now = time.perf_counter()
         if now - last_stats >= 1.0:  # 1 Hz stats overlay analogue
-            fps = 1000.0 / max(frame_ms, 1e-3)
-            print(f"[stats] fps={fps:.1f} ms={frame_ms:.1f} "
-                  f"frames={r.frame_count}")
+            print(f"[stats] {stats.line()} frames={r.frame_count}")
             last_stats = now
     if pending is not None:
         r.bridge.wait()
@@ -238,6 +242,10 @@ def build_parser():
     sp.add_argument("--animate", action="store_true",
                     help="tick the scene every update-interval frames "
                          "(the reference's interactive rAF loop)")
+    sp.add_argument("--gbuffer", action="store_true",
+                    help="seed bounce 0 from the rasterizer-analogue "
+                         "G-buffer pass (reference Rasterizer.wgsl hand-off;"
+                         " dense backend only)")
     sp.add_argument("--fps", type=int, default=30,
                     help="scene-time ticks per second when animating")
     sp.add_argument("--update-interval", type=int, default=4,

@@ -256,7 +256,10 @@ def get_light_pdf(scene, tri_idx, inst_idx, t, l_dir):
 
 
 def ray_color(scene, ro, rd, rng, max_depth: int):
-    """Trace rays to completion. Returns (radiance (R,3), rng)."""
+    """Trace rays to completion. Returns (radiance (R,3), rng, rays):
+    `rays` is the EXACT count of rays traced (primary + NEE shadow +
+    extension lanes actually queried), the honest Mrays/s numerator —
+    same accounting as ops/dense_trace.ray_color_dense."""
     R = ro.shape[0]
     f32 = jnp.float32
 
@@ -280,6 +283,7 @@ def ray_color(scene, ro, rd, rng, max_depth: int):
         normal: jnp.ndarray
         geom_n: jnp.ndarray
         albedo: jnp.ndarray
+        rays: jnp.ndarray  # () f32 — rays traced so far
 
     state = _S(
         active=active0,
@@ -297,6 +301,7 @@ def ray_color(scene, ro, rd, rng, max_depth: int):
         normal=hd.normal,
         geom_n=hd.world_geom_n,
         albedo=hd.albedo,
+        rays=jnp.asarray(float(R), f32),  # primary rays
     )
 
     def body(depth, s: _S):
@@ -423,11 +428,14 @@ def ray_color(scene, ro, rd, rng, max_depth: int):
         geo_new = jnp.where(found[:, None], hdn.world_geom_n, geom_n)
         alb = jnp.where(found[:, None], hdn.albedo, s.albedo)
 
+        rays = s.rays + nee_lane.sum(dtype=jnp.float32) \
+            + do_next.sum(dtype=jnp.float32)
         return _S(active, ro_next, rd_next, throughput, radiance, rng, prev_pdf,
-                  specular_bounce, tri, inst, hit_t, tex_uv, nrm_new, geo_new, alb)
+                  specular_bounce, tri, inst, hit_t, tex_uv, nrm_new, geo_new,
+                  alb, rays)
 
     out = jax.lax.fori_loop(0, max_depth, body, state)
-    return out.radiance, out.rng
+    return out.radiance, out.rng, out.rays
 
 
 # ---------------------------------------------------------------------------
@@ -449,8 +457,11 @@ def camera_unpack(camera24):
 
 def trace_pixels(scene, camera24, frame_count, jitter, width: int, height: int,
                  spp: int, max_depth: int, row0=0, full_height: int | None = None,
-                 total_spp: int | None = None, sample0=0):
-    """Render one frame's radiance: returns (H*W, 3) averaged over spp.
+                 total_spp: int | None = None, sample0=0,
+                 with_stats: bool = False):
+    """Render one frame's radiance: returns (H*W, 3) averaged over spp;
+    with with_stats=True, returns (radiance, rays) with the exact traced-ray
+    count (same contract as ops.dense_trace.trace_pixels_dense).
 
     row0/full_height support tile sharding (this call renders rows
     [row0, row0+height) of a full_height-tall frame with globally-consistent
@@ -492,10 +503,15 @@ def trace_pixels(scene, camera24, frame_count, jitter, width: int, height: int,
              + v[:, None] * cam["vertical"][None, :]
              - cam["origin"][None, :] - off)
         ro = cam["origin"][None, :] + off
-        col, _ = ray_color(scene, ro, d, rng, max_depth)
-        return acc + col
+        col, _, rays = ray_color(scene, ro, d, rng, max_depth)
+        acc_col, acc_rays = acc
+        return acc_col + col, acc_rays + rays
 
-    col = jax.lax.fori_loop(0, spp, one_sample, jnp.zeros((R, 3), jnp.float32))
+    col, rays = jax.lax.fori_loop(
+        0, spp, one_sample,
+        (jnp.zeros((R, 3), jnp.float32), jnp.zeros((), jnp.float32)))
+    if with_stats:
+        return col / spp, rays
     return col / spp
 
 

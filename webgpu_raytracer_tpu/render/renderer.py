@@ -43,8 +43,13 @@ def render_step(scene, camera, frame_count, jitter, accum, *,
     its id channel instead of tracing primaries (the reference pipeline's
     Rasterizer.wgsl -> Raytracer.wgsl:617-654 hand-off). Radiance is
     bit-identical to the traced-primary path at lens_radius == 0
-    (tests/test_gbuffer_post.py)."""
+    (tests/test_gbuffer_post.py).
+
+    Returns (accum, rays): `rays` is the EXACT device-side count of rays
+    traced this frame (incl. the G-buffer's own primary cast when seeding) —
+    the measured Mrays/s numerator for the stats line."""
     kwargs = {}
+    gb_rays = 0.0
     if use_gbuffer and backend == "dense":
         from ..ops.gbuffer import render_gbuffer
 
@@ -52,9 +57,11 @@ def render_step(scene, camera, frame_count, jitter, accum, *,
         gb = render_gbuffer(wt, textures, camera, width, height,
                             jitter=jitter)
         kwargs["seed_wt_idx"] = gb.wt_idx.reshape(-1)
-    col = get_tracer(backend)(scene, camera, frame_count, jitter, width,
-                              height, spp, max_depth, **kwargs)
-    return accumulate(accum, col, frame_count)
+        gb_rays = float(width * height)  # the G-buffer's primary cast
+    col, rays = get_tracer(backend)(scene, camera, frame_count, jitter, width,
+                                    height, spp, max_depth, with_stats=True,
+                                    **kwargs)
+    return accumulate(accum, col, frame_count), rays + gb_rays
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height"))
@@ -193,10 +200,13 @@ class Renderer:
         """Trace one progressive frame into the accumulator.
 
         use_gbuffer=True seeds bounce 0 from the rasterizer-analogue
-        G-buffer pass (dense backend only; see render_step)."""
+        G-buffer pass (dense backend only; see render_step).
+
+        Sets self.last_rays (device scalar, unread until needed) with the
+        exact ray count of this frame for measured-Mrays/s reporting."""
         self.frame_count += 1
         jitter, self._avg_jitter = self._jitter_acc.step(self.frame_count)
-        self.accum = render_step(
+        self.accum, self.last_rays = render_step(
             self._step_scene(),
             self.camera,
             jnp.asarray(self.frame_count, jnp.int32),

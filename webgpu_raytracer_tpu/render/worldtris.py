@@ -316,7 +316,11 @@ def build_world_tris(world, pad_to: int | None = None) -> WorldTris:
     ).astype(np.float32)
     assert shade.shape[1] == SHADE_K
 
-    lw_pad = _round_up(len(lw), 128)
+    # Pad the light-row table to a SUBLANE multiple only (8), not 128: the
+    # per-bounce NEE fetch is a (SHADE_K, Lpad) @ (Lpad, R) one-hot matmul,
+    # and typical scenes have 2-8 emissive triangles — padding to 128 made
+    # that matmul 16x bigger than needed (measured ~8% of the cornell frame).
+    lw_pad = _round_up(len(lw), 8)
     lw_padded = np.zeros(lw_pad, np.int64)
     lw_padded[: len(lw)] = lw
     light_rows = shade[np.clip(lw_padded, 0, shade.shape[0] - 1)]

@@ -17,19 +17,27 @@ import numpy as np
 
 @dataclass
 class FrameStats:
-    """Running render statistics (the stats-overlay analogue)."""
+    """Running render statistics (the stats-overlay analogue).
+
+    Ray counts are EXACT: record() takes the per-frame traced-ray count the
+    render step returns (Renderer.last_rays — primary + NEE shadow +
+    extension lanes actually swept), so rays_per_sec is measured, not
+    modeled."""
 
     width: int
     height: int
     spp: int
     max_depth: int
     frame_times_ms: List[float] = field(default_factory=list)
+    frame_rays: List[float] = field(default_factory=list)
     window: int = 60
 
-    def record(self, dt_s: float):
+    def record(self, dt_s: float, rays: float = 0.0):
         self.frame_times_ms.append(dt_s * 1000.0)
+        self.frame_rays.append(float(rays))
         if len(self.frame_times_ms) > self.window:
             self.frame_times_ms.pop(0)
+            self.frame_rays.pop(0)
 
     @property
     def ms(self) -> float:
@@ -39,26 +47,16 @@ class FrameStats:
     def fps(self) -> float:
         return 1000.0 / self.ms if self.ms > 0 else 0.0
 
-    def rays_per_sec(self, rays_per_sample: float = None) -> float:
-        """Estimated rays/sec: primary + (shadow + extension) per live bounce.
-
-        With no measured estimate, uses the conservative per-path ray count
-        of a closed scene (~85% primary hit, 0.75 live decay per bounce).
-        """
-        if rays_per_sample is None:
-            live, rays = 0.85, 1.0
-            for _ in range(self.max_depth):
-                rays += 2 * live
-                live *= 0.75
-            rays_per_sample = rays
-        if self.ms <= 0:
+    def rays_per_sec(self) -> float:
+        """Measured rays/sec over the window (exact counts / wall time)."""
+        wall_s = float(np.sum(self.frame_times_ms)) / 1000.0
+        if wall_s <= 0:
             return 0.0
-        return self.width * self.height * self.spp * rays_per_sample / (
-            self.ms / 1000.0)
+        return float(np.sum(self.frame_rays)) / wall_s
 
     def line(self) -> str:
         return (f"fps={self.fps:.1f} ms={self.ms:.1f} "
-                f"~{self.rays_per_sec() / 1e6:.1f} Mrays/s")
+                f"{self.rays_per_sec() / 1e6:.1f} Mrays/s")
 
 
 class PassTimer:
