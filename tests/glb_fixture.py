@@ -241,6 +241,154 @@ def skinned_strip_glb() -> bytes:
     return build_glb(doc, bin_data)
 
 
+def _uv_sphere(segments: int, rings: int, radius: float):
+    """UV sphere (positions, normals, uvs, indices): 2*segments*(rings-1)
+    triangles."""
+    verts, norms, uvs = [], [], []
+    for r in range(rings + 1):
+        phi = np.pi * r / rings
+        for s in range(segments + 1):
+            theta = 2 * np.pi * s / segments
+            n = np.array([np.sin(phi) * np.cos(theta), np.cos(phi),
+                          np.sin(phi) * np.sin(theta)], np.float32)
+            verts.append(n * radius)
+            norms.append(n)
+            uvs.append([s / segments, r / rings])
+    idx = []
+    stride = segments + 1
+    for r in range(rings):
+        for s in range(segments):
+            a = r * stride + s
+            b = a + stride
+            if r > 0:
+                idx += [a, b, a + 1]
+            if r < rings - 1:
+                idx += [a + 1, b, b + 1]
+    return (np.asarray(verts, np.float32), np.asarray(norms, np.float32),
+            np.asarray(uvs, np.float32), np.asarray(idx, np.uint16))
+
+
+def character_glb() -> bytes:
+    """A real-asset-SCALE model (the bundled-model analogue of the
+    reference's public/diamond.obj + UI .glb path, UIManager.ts:91): a
+    'snowman' with a node hierarchy (body -> head child), THREE mesh
+    primitives across TWO meshes with distinct materials (textured
+    lambertian body, metallic head, emissive collar), TWO embedded PNG
+    textures, >1k triangles, and TWO animation clips ('bob' translation,
+    'spin' rotation). Exercises every loader subsystem a real-world GLB
+    hits except skinning (covered by skinned_strip_glb)."""
+    import io
+    from PIL import Image
+
+    def png_bytes(arr):
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return buf.getvalue()
+
+    checker = np.zeros((16, 16, 3), np.uint8)
+    checker[::2, ::2] = checker[1::2, 1::2] = [200, 160, 40]
+    checker[::2, 1::2] = checker[1::2, ::2] = [40, 80, 200]
+    stripes = np.zeros((8, 8, 3), np.uint8)
+    stripes[:, :] = [220, 220, 220]
+    stripes[::2, :] = [180, 30, 30]
+    png_a, png_b = png_bytes(checker), png_bytes(stripes)
+
+    bp, bn, buv, bi = _uv_sphere(32, 17, 1.0)       # body: 1024 tris
+    hp, hn, huv, hi = _uv_sphere(16, 9, 0.5)        # head: 256 tris
+    cp = np.array([[-0.6, 0, -0.6], [0.6, 0, -0.6],
+                   [0.6, 0, 0.6], [-0.6, 0, 0.6]], np.float32)  # collar quad
+    cn = np.tile(np.array([[0, 1, 0]], np.float32), (4, 1))
+    cuv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    ci = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+    times = np.array([0.0, 1.0], np.float32)
+    bob = np.array([[0, 1.0, 0], [0, 1.4, 0]], np.float32)
+    spin = np.array([[0, 0, 0, 1], [0, 1, 0, 0]], np.float32)
+
+    blobs = [a.tobytes() for a in
+             (bp, bn, buv, bi, hp, hn, huv, hi, cp, cn, cuv, ci,
+              times, bob, spin)] + [png_a, png_b]
+    offsets = []
+    off = 0
+    for b in blobs:
+        offsets.append(off)
+        off += len(b) + ((4 - len(b) % 4) % 4)
+    bin_data = b"".join(b + b"\x00" * ((4 - len(b) % 4) % 4) for b in blobs)
+
+    def view(k):
+        return {"buffer": 0, "byteOffset": offsets[k],
+                "byteLength": len(blobs[k])}
+
+    def acc(k, ctype, count, atype):
+        return {"bufferView": k, "componentType": ctype, "count": count,
+                "type": atype}
+
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0, 2]}],
+        "nodes": [
+            {"name": "body", "mesh": 0, "translation": [0.0, 1.0, 0.0],
+             "children": [1]},
+            {"name": "head", "mesh": 1, "translation": [0.0, 1.2, 0.0]},
+            {"name": "anchor"},
+        ],
+        "buffers": [{"byteLength": len(bin_data)}],
+        "bufferViews": [view(k) for k in range(len(blobs))],
+        "accessors": [
+            acc(0, 5126, len(bp), "VEC3"), acc(1, 5126, len(bn), "VEC3"),
+            acc(2, 5126, len(buv), "VEC2"), acc(3, 5123, len(bi), "SCALAR"),
+            acc(4, 5126, len(hp), "VEC3"), acc(5, 5126, len(hn), "VEC3"),
+            acc(6, 5126, len(huv), "VEC2"), acc(7, 5123, len(hi), "SCALAR"),
+            acc(8, 5126, 4, "VEC3"), acc(9, 5126, 4, "VEC3"),
+            acc(10, 5126, 4, "VEC2"), acc(11, 5123, 6, "SCALAR"),
+            acc(12, 5126, 2, "SCALAR"), acc(13, 5126, 2, "VEC3"),
+            acc(14, 5126, 2, "VEC4"),
+        ],
+        "images": [{"bufferView": 15, "mimeType": "image/png"},
+                   {"bufferView": 16, "mimeType": "image/png"}],
+        "textures": [{"source": 0}, {"source": 1}],
+        "materials": [
+            {"pbrMetallicRoughness": {
+                "baseColorFactor": [1, 1, 1, 1],
+                "baseColorTexture": {"index": 0},
+                "metallicFactor": 0.0, "roughnessFactor": 0.8}},
+            {"pbrMetallicRoughness": {
+                "baseColorFactor": [0.9, 0.9, 0.95, 1],
+                "metallicFactor": 1.0, "roughnessFactor": 0.15}},
+            {"pbrMetallicRoughness": {
+                "baseColorFactor": [1, 1, 1, 1],
+                "baseColorTexture": {"index": 1},
+                "metallicFactor": 0.0},
+             "emissiveFactor": [0.4, 0.3, 0.1]},
+        ],
+        "meshes": [
+            {"primitives": [
+                {"attributes": {"POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2},
+                 "indices": 3, "material": 0},
+                {"attributes": {"POSITION": 8, "NORMAL": 9, "TEXCOORD_0": 10},
+                 "indices": 11, "material": 2},
+            ]},
+            {"primitives": [
+                {"attributes": {"POSITION": 4, "NORMAL": 5, "TEXCOORD_0": 6},
+                 "indices": 7, "material": 1},
+            ]},
+        ],
+        "animations": [
+            {"name": "bob",
+             "channels": [{"sampler": 0,
+                           "target": {"node": 0, "path": "translation"}}],
+             "samplers": [{"input": 12, "output": 13,
+                           "interpolation": "LINEAR"}]},
+            {"name": "spin",
+             "channels": [{"sampler": 0,
+                           "target": {"node": 0, "path": "rotation"}}],
+             "samplers": [{"input": 12, "output": 14,
+                           "interpolation": "LINEAR"}]},
+        ],
+    }
+    return build_glb(doc, bin_data)
+
+
 def textured_quad_glb() -> bytes:
     """A quad with an embedded PNG baseColorTexture: left half red, right
     half blue (tests decode -> texture array -> bilinear sampling)."""

