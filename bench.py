@@ -42,9 +42,9 @@ REPEATS = 3  # best-of-N: the tunneled chip shows contention noise
 GOLDENS = {
     "cornell": 0.3040,
     "cornell_1080p": 0.1766,
-    "gem": None,       # pending TPU recording (this round)
-    "spheres": None,
-    "textured": None,
+    "gem": 0.3751,     # TPU-recorded 2026-08-17 (round 3 HEAD baseline run)
+    "spheres": 0.0424,
+    "textured": 0.2739,
 }
 GOLDEN_TOL = 0.02
 
