@@ -1,0 +1,91 @@
+"""Interleaved A/B of spheres-frame variants on the real TPU.
+
+The tunneled chip's throughput drifts ~2x over minutes, so sequential A/B
+runs are meaningless (measured: the same compiled program at 517 and 902
+ms/frame eleven minutes apart). This tool compiles each variant as its OWN
+jit entry (trace-time module flags — a plain monkeypatch would silently
+reuse the first variant's cache entry) and interleaves timing rounds
+A,B,A,B..., reporting per-round pairs so weather shifts are visible.
+
+Run: python tools/ab_spheres.py [key|m2]
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from bench import build, tunnel_rt  # noqa: E402
+import webgpu_raytracer_tpu.ops.pallas_dense as pd  # noqa: E402
+
+
+def make_chained(wt, tex, camera, variant_setup, width=512, height=512,
+                 spp=1, depth=8):
+    """A fresh jit entry whose trace runs under `variant_setup()`."""
+    from webgpu_raytracer_tpu.ops.dense_trace import trace_pixels_dense
+
+    def fn(wt, tex, camera, n):
+        def body(i, acc):
+            s, rays = acc
+            col, r = trace_pixels_dense(
+                wt, tex, camera, i + 1, jnp.zeros(2, jnp.float32),
+                width, height, spp, depth, with_stats=True)
+            return s + col.mean(), rays + r
+
+        return jax.lax.fori_loop(0, n, body,
+                                 (jnp.zeros(()), jnp.zeros(())))
+
+    jf = jax.jit(fn)
+    variant_setup()
+    # Trace + compile both shapes now, under the variant's flags.
+    jax.block_until_ready(jf(wt, tex, camera, 4))
+    jax.block_until_ready(jf(wt, tex, camera, 1))
+    return jf
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "key"
+    tunnel_rt()
+    world, wt, scene, camera = build("spheres")
+
+    if mode == "key":
+        variants = {
+            "sbox": lambda: setattr(pd, "KEY_MODE", "sbox"),
+            "obox": lambda: setattr(pd, "KEY_MODE", "obox"),
+        }
+    else:
+        variants = {
+            "m1024": lambda: setattr(pd, "M_TILE2", 1024),
+            "m512": lambda: setattr(pd, "M_TILE2", 512),
+        }
+
+    fns = {}
+    for name, setup in variants.items():
+        fns[name] = make_chained(wt, scene.textures, camera, setup)
+        print(f"compiled {name}", flush=True)
+
+    rays = {}
+    for name, f in fns.items():
+        rays[name] = float(np.asarray(f(wt, scene.textures, camera, 4)[1])) \
+            - float(np.asarray(f(wt, scene.textures, camera, 1)[1]))
+
+    for rnd in range(4):
+        line = []
+        for name, f in fns.items():
+            t0 = time.perf_counter()
+            np.asarray(f(wt, scene.textures, camera, 1)[0])
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            np.asarray(f(wt, scene.textures, camera, 4)[0])
+            t4 = time.perf_counter() - t0
+            dt = max(t4 - t1, 1e-6)
+            line.append(f"{name}: {rays[name] / dt / 1e6:5.2f} Mrays/s "
+                        f"({dt / 3 * 1e3:6.1f} ms/f)")
+        print(f"round {rnd}: " + "   ".join(line), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -51,7 +51,8 @@ def tile_cluster_worklist(rayfT, t_max, spheres, m_tile: int):
     a = jnp.where(act[None], dn, 0.0).sum(axis=2)
     a = a / jnp.maximum(jnp.sqrt((a * a).sum(axis=0, keepdims=True)), 1e-20)
     cos_t = jnp.where(act, (a[:, :, None] * dn).sum(axis=0), 1.0).min(axis=1)
-    theta = jnp.arccos(jnp.clip(cos_t, -1.0, 1.0))               # (T,)
+    cos_t = jnp.clip(cos_t, -1.0, 1.0)                           # (T,)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
 
     tile_live = act.any(axis=1)
     # t_max is in ray-parameter units; directions are NOT unit length for
@@ -66,16 +67,21 @@ def tile_cluster_worklist(rayfT, t_max, spheres, m_tile: int):
                              - spheres[:, 3:4], jnp.float32(3e38)), axis=0)
     s_hi = jnp.max(jnp.where(live_c[:, None], spheres[:, 0:3]
                              + spheres[:, 3:4], jnp.float32(-3e38)), axis=0)
-    s_c = (s_lo + s_hi) * 0.5
-    s_r = 0.5 * jnp.sqrt(((s_hi - s_lo) ** 2).sum())
-    oc = o - s_c[:, None, None]                       # (3, T, m)
-    b_s = (d * oc).sum(axis=0)
-    dd_s = jnp.maximum((d * d).sum(axis=0), 1e-30)
-    cc_s = (oc * oc).sum(axis=0) - s_r * s_r
-    disc_s = b_s * b_s - dd_s * cc_s
-    t_exit = (-b_s + jnp.sqrt(jnp.maximum(disc_s, 0.0))) / dd_s
-    exit_world = jnp.where(disc_s >= 0.0, jnp.maximum(t_exit, 0.0), 0.0) \
-        * dlen
+    # Scene-exit cap by AABB SLAB test, not bounding sphere: a giant ground
+    # object (spheres preset: r=1000) inflates the bounding sphere so an
+    # up-going bounce ray stays "inside" for ~1400 world units and the cap
+    # never bites (measured: the kernel's sorted early exit fired on ZERO
+    # bounce tiles). The box top sits just above the scene content, so the
+    # slab exit for sky-going rays is tiny and the near-to-far loop stops
+    # after a handful of clusters.
+    d_safe = jnp.where(jnp.abs(d) > 1e-20, d,
+                       jnp.where(d >= 0.0, 1e-20, -1e-20))
+    t1 = (s_lo[:, None, None] - o) / d_safe           # (3, T, m)
+    t2 = (s_hi[:, None, None] - o) / d_safe
+    t_exit = jnp.maximum(t1, t2).min(axis=0)
+    t_enter = jnp.minimum(t1, t2).max(axis=0)
+    hit_box = (t_enter <= t_exit) & (t_exit > 0.0)
+    exit_world = jnp.where(hit_box, t_exit, 0.0) * dlen
     reach_world = jnp.minimum(t_max.reshape(t, m_tile) * dlen, exit_world)
     tmax_tile = jnp.where(act, reach_world, 0.0).max(axis=1)
 
@@ -87,9 +93,20 @@ def tile_cluster_worklist(rayfT, t_max, spheres, m_tile: int):
 
     inside = dist <= rcp
     cos_av = (a.T[:, None, :] * v).sum(-1) / jnp.maximum(dist, 1e-20)
-    alpha = jnp.arccos(jnp.clip(cos_av, -1.0, 1.0))
-    beta = jnp.arcsin(jnp.clip(rcp / jnp.maximum(dist, 1e-20), 0.0, 1.0))
-    hit_cone = (alpha - beta) <= theta[:, None]
+    # Cone test in COSINE DOMAIN — the (T, Ct) pair map is the broad phase's
+    # whole cost and arccos/arcsin are multi-cycle VPU polynomials (measured
+    # 16.6 of the 19.7 ms jnp prefix at 512 tiles x 2009 clusters; this
+    # rewrite needs only two sqrts). With alpha = angle(axis, cluster),
+    # beta = angular radius, theta = cone half-angle, all in [0, pi]:
+    #   alpha - beta <= theta
+    #     <=>  theta + beta >= pi                  (then alpha <= pi always)
+    #       OR cos(alpha) >= cos(theta + beta)     (cos decreasing on [0,pi])
+    # and  theta + beta >= pi  <=>  cos_t <= -cos_b.
+    sin_b = jnp.clip(rcp / jnp.maximum(dist, 1e-20), 0.0, 1.0)
+    cos_b = jnp.sqrt(jnp.maximum(1.0 - sin_b * sin_b, 0.0))
+    cos_sum = cos_b * cos_t[:, None] - sin_b * sin_t[:, None]
+    hit_cone = (cos_t[:, None] <= -cos_b) | (
+        jnp.clip(cos_av, -1.0, 1.0) >= cos_sum - 1e-6)
     reachable = (dist - rcp) <= tmax_tile[:, None]
 
     possible = (inside | hit_cone) & reachable & tile_live[:, None] \

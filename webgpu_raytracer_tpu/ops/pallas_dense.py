@@ -311,13 +311,21 @@ def _run(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
 
 M_TILE2 = 1024  # rays per tile for the two-level path (tighter cull cones)
 
+# Coherence-sort key origin-cell frame, read at TRACE time ("obox" = live
+# ray-origin bbox, "sbox" = cluster-geometry bbox). A/B knob: distinct jit
+# wrappers re-trace with different values (tools/ab_spheres.py).
+KEY_MODE = "obox"
+
 
 def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, rayf_ref, tmax_ref,
              sph_ref, featk3_hbm, shadek3_hbm, *refs,
-             t_min: float, any_hit: bool, with_row: bool, c_tile: int):
+             t_min: float, any_hit: bool, with_row: bool, c_tile: int,
+             with_stats: bool = False):
     # scal: [first_row_tile, count_0, count_1, ...]
     # surv: (1, 1, Ctp) SMEM — sorted surviving cluster ids for this tile
     # dist: (1, 1, Ctp) SMEM — matching sorted min-reach keys (monotone)
+    refs = list(refs)
+    stats_ref = refs.pop(2 + with_row) if with_stats else None
     if with_row:
         out_t_ref, out_i_ref, out_row_ref = refs[:3]
         feat_buf, shade_buf, semf, sems = refs[3:]
@@ -416,59 +424,73 @@ def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, rayf_ref, tmax_ref,
                 return
             tm = jnp.where(ok, t, jnp.float32(T_MAX))
             cur_min = jnp.min(tm, axis=0, keepdims=True)
-            cur_idx = jnp.min(
-                jnp.where(tm <= cur_min, col, jnp.int32(2 ** 30)), axis=0,
-                keepdims=True)
             upd = cur_min < out_t_ref[:]
-            out_t_ref[:] = jnp.where(upd, cur_min, out_t_ref[:])
-            out_i_ref[:] = jnp.where(upd, cur_idx.astype(jnp.float32),
-                                     out_i_ref[:])
-            if with_row:
-                out_row_ref[SHADE_K:SHADE_K + 1, :] = out_t_ref[:]
-                out_row_ref[SHADE_K + 1:SHADE_K + 2, :] = out_i_ref[:]
+            any_upd = jnp.max(upd.astype(jnp.float32)) > 0.0
 
-                @pl.when(row_on)
-                def _fetch_row():
-                    oh = ((col == cur_idx) & upd).astype(jnp.bfloat16)
-                    oh3 = jnp.concatenate([oh, oh, oh], axis=0)
-                    rowT_new = jnp.dot(shade_buf[slot], oh3,
-                                       preferred_element_type=jnp.float32)
-                    out_row_ref[0:SHADE_K, :] = jnp.where(
-                        upd, rowT_new[:SHADE_K], out_row_ref[0:SHADE_K, :])
+            # Most processed clusters beat no lane's running best (the
+            # near-to-far order means early clusters usually win): gate the
+            # winner-index reduction, accumulator writes, and especially the
+            # row-fetch matmul on "any lane improved".
+            @pl.when(any_upd)
+            def _commit():
+                cur_idx = jnp.min(
+                    jnp.where(tm <= cur_min, col, jnp.int32(2 ** 30)), axis=0,
+                    keepdims=True)
+                out_t_ref[:] = jnp.where(upd, cur_min, out_t_ref[:])
+                out_i_ref[:] = jnp.where(upd, cur_idx.astype(jnp.float32),
+                                         out_i_ref[:])
+                if with_row:
+                    out_row_ref[SHADE_K:SHADE_K + 1, :] = out_t_ref[:]
+                    out_row_ref[SHADE_K + 1:SHADE_K + 2, :] = out_i_ref[:]
+
+                    @pl.when(row_on)
+                    def _fetch_row():
+                        oh = ((col == cur_idx) & upd).astype(jnp.bfloat16)
+                        oh3 = jnp.concatenate([oh, oh, oh], axis=0)
+                        rowT_new = jnp.dot(shade_buf[slot], oh3,
+                                           preferred_element_type=jnp.float32)
+                        out_row_ref[0:SHADE_K, :] = jnp.where(
+                            upd, rowT_new[:SHADE_K],
+                            out_row_ref[0:SHADE_K, :])
 
     # Per-lane |d|: t-units -> world units for the reach-key comparison
     # (primary camera rays are unnormalized, |d| ~ focus_dist).
     dlen = jnp.sqrt(rayf_ref[0:1, :] ** 2 + rayf_ref[1:2, :] ** 2
                     + rayf_ref[2:3, :] ** 2)
 
-    # Scene-sphere reach cap (loop-invariant): a lane that exits the scene
-    # bounding sphere (last sph_ref row, appended by _run2) can't hit
-    # anything past that exit — without this, miss lanes carry t_max = 1e30
-    # and defeat the sorted early termination for their whole tile.
+    # Scene-AABB reach cap (loop-invariant): a lane that exits the scene
+    # bounding BOX (last sph_ref row = [lo.xyz, hi.xyz], appended by _run2)
+    # can't hit anything past that exit — without this, miss lanes carry
+    # t_max = 1e30 and defeat the sorted early termination for their whole
+    # tile. The box (not a bounding sphere): with a giant ground object the
+    # sphere is so fat that sky-going bounce rays never exit it and the
+    # early termination never fired (kernel-measured on `spheres`).
     srow = sph_ref[sph_ref.shape[0] - 1, :]
-    scx, scy, scz, scr = srow[0], srow[1], srow[2], srow[3]
-    dx_, dy_, dz_ = rayf_ref[0:1, :], rayf_ref[1:2, :], rayf_ref[2:3, :]
-    ocx_ = rayf_ref[6:7, :] - scx
-    ocy_ = rayf_ref[7:8, :] - scy
-    ocz_ = rayf_ref[8:9, :] - scz
-    b_s = dx_ * ocx_ + dy_ * ocy_ + dz_ * ocz_
-    dd_s = jnp.maximum(dx_ * dx_ + dy_ * dy_ + dz_ * dz_, 1e-30)
-    cc_s = ocx_ * ocx_ + ocy_ * ocy_ + ocz_ * ocz_ - scr * scr
-    disc_s = b_s * b_s - dd_s * cc_s
-    t_exit = (-b_s + jnp.sqrt(jnp.maximum(disc_s, 0.0))) / dd_s
-    reach_cap = jnp.where(disc_s >= 0.0, jnp.maximum(t_exit, 0.0), 0.0) \
-        * dlen
+    t_exit = None
+    t_enter = None
+    for ax in range(3):
+        d_r = rayf_ref[ax:ax + 1, :]
+        o_r = rayf_ref[6 + ax:7 + ax, :]
+        d_safe = jnp.where(jnp.abs(d_r) > 1e-20, d_r,
+                           jnp.where(d_r >= 0.0, 1e-20, -1e-20))
+        t1 = (srow[ax] - o_r) / d_safe
+        t2 = (srow[3 + ax] - o_r) / d_safe
+        hi_ = jnp.maximum(t1, t2)
+        lo_ = jnp.minimum(t1, t2)
+        t_exit = hi_ if t_exit is None else jnp.minimum(t_exit, hi_)
+        t_enter = lo_ if t_enter is None else jnp.maximum(t_enter, lo_)
+    hit_box = (t_enter <= t_exit) & (t_exit > 0.0)
+    reach_cap = jnp.where(hit_box, t_exit, 0.0) * dlen
 
     # Software-pipelined survivor loop: while processing cluster k, decide
     # (cull + DMA-start) cluster k+1, and terminate the whole loop once the
     # next sorted min-reach key (world units) exceeds every lane's open
     # interval.
     def cond(carry):
-        k, started_k, stop = carry
-        return jnp.logical_not(stop)
+        return jnp.logical_not(carry[2])
 
     def body(carry):
-        k, started_k, _ = carry
+        k, started_k, _, nproc = carry
         maxt = jnp.max(jnp.minimum(lane_tmax() * dlen, reach_cap))
         in_range = k + 1 < count
         k1 = jnp.minimum(k + 1, surv_ref.shape[2] - 1)  # clamp for the read
@@ -487,15 +509,29 @@ def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, rayf_ref, tmax_ref,
 
         # Sorted keys: once k+1 is unreachable, so is everything after it.
         stop = jnp.logical_not(in_range & reach)
-        return (k + 1, nxt, stop)
+        return (k + 1, nxt, stop, nproc + started_k.astype(jnp.int32))
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), p0,
-                                    jnp.logical_not(count > 0)))
+    k_end, _, _, nproc = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), p0, jnp.logical_not(count > 0), jnp.int32(0)))
+    if with_stats:
+        # [iterations, processed, worklist count, 0...] per ray tile
+        # (vector select — Mosaic cannot store scalars to VMEM).
+        lanei = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        row = jnp.where(lanei == 0, k_end.astype(jnp.float32), 0.0)
+        row = jnp.where(lanei == 1, nproc.astype(jnp.float32), row)
+        row = jnp.where(lanei == 2, count.astype(jnp.float32), row)
+        stats_ref[:] = row
 
 
 def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
-          with_row: bool, row_from_lane: int = 0, interpret: bool = False):
-    """Two-level sweep: cull clusters per ray tile, then loop survivors."""
+          with_row: bool, row_from_lane: int = 0, interpret: bool = False,
+          with_stats: bool = False):
+    """Two-level sweep: cull clusters per ray tile, then loop survivors.
+
+    with_stats=True appends a (T, 3) float32 array to the return tuple:
+    per ray tile [loop iterations, clusters processed, worklist count]
+    (tooling only; see tools/stats_spheres.py)."""
     from .cluster_cull import tile_cluster_worklist
 
     rox, roy, roz = ro
@@ -542,10 +578,24 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
     sext = jnp.maximum(
         jnp.max(jnp.where(live[:, None], sph_flat[:, 0:3] + sph_flat[:, 3:4],
                           jnp.float32(-3e38)), axis=0) - smin, 1e-20)
+    # Origin cells quantize against the LIVE RAY ORIGIN bbox, not the scene
+    # geometry bbox: a scene like `spheres` has an r=1000 ground sphere that
+    # blows the geometry bbox to ~2000 units while every bounce origin sits
+    # in a ~30-unit visible region — geometry-box cells put all origins in
+    # 1-2 cells and the key degenerates to direction-octant only (scanned:
+    # ray-origin cells cut bounce survivor work 1.5-2.9x on `spheres`).
+    lane_live = t_max > 0.0
     key = jnp.zeros((rp,), jnp.int32)
     octant = jnp.zeros((rp,), jnp.int32)
     for a, (o_c, d_c) in enumerate(((rox, rdx), (roy, rdy), (roz, rdz))):
-        q = jnp.clip(((o_c - smin[a]) / sext[a] * 8.0)
+        if KEY_MODE == "obox":
+            o_lo = jnp.min(jnp.where(lane_live, o_c, jnp.float32(3e38)))
+            o_ext = jnp.maximum(
+                jnp.max(jnp.where(lane_live, o_c, jnp.float32(-3e38)))
+                - o_lo, 1e-20)
+        else:
+            o_lo, o_ext = smin[a], sext[a]
+        q = jnp.clip(((o_c - o_lo) / o_ext * 8.0)
                      .astype(jnp.int32), 0, 7)
         key = key * 8 + q
         octant = octant * 2 + (d_c < 0.0).astype(jnp.int32)
@@ -568,11 +618,11 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
 
     order, keys, counts = tile_cluster_worklist(rayfT, t_max, sph_flat,
                                                 M_TILE2)
-    # Append the scene bounding sphere as the last row (the kernel's
-    # per-lane reach cap reads it at static index Ct).
+    # Append the scene AABB as the last row [lo.xyz, hi.xyz] (the kernel's
+    # per-lane slab-exit reach cap reads it at static index Ct).
     scene_row = jnp.zeros((1, 128), jnp.float32)
-    scene_row = scene_row.at[0, 0:3].set(smin + 0.5 * sext)
-    scene_row = scene_row.at[0, 3].set(0.5 * jnp.sqrt((sext ** 2).sum()))
+    scene_row = scene_row.at[0, 0:3].set(smin)
+    scene_row = scene_row.at[0, 3:6].set(smin + sext)
     sph_aug = jnp.concatenate([sph_flat, scene_row], axis=0)
     ct_pad = (-n_clusters) % 128
     if ct_pad:
@@ -600,6 +650,10 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
         out_specs.append(pl.BlockSpec((SHADE_KP, M_TILE2),
                                       lambda i, v: (0, i)))
         out_shape.append(jax.ShapeDtypeStruct((SHADE_KP, rp), jnp.float32))
+    if with_stats:
+        out_specs.append(pl.BlockSpec((1, 128), lambda i, v: (0, i)))
+        out_shape.append(jax.ShapeDtypeStruct((1, n_ray_tiles * 128),
+                                              jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -628,7 +682,8 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
 
     outs = pl.pallas_call(
         functools.partial(_kernel2, t_min=t_min, any_hit=any_hit,
-                          with_row=with_row, c_tile=c),
+                          with_row=with_row, c_tile=c,
+                          with_stats=with_stats),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -641,16 +696,20 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
     # Un-permute: with_row recovers rows + t + idx with ONE (R, SHADE_KP)
     # row-major gather; the slim paths use single-vector gathers.
     out_t, out_i = outs[0], outs[1]
+    stats = ((outs[-1].reshape(n_ray_tiles, 128)[:, :3],)
+             if with_stats else ())
     if any_hit:
-        return out_t[0, inv_perm[:R]] > 0.0
+        out = out_t[0, inv_perm[:R]] > 0.0
+        return (out,) + stats if with_stats else out
     if with_row:
         backT = outs[2].T[inv_perm[:R], :].T        # (SHADE_KP, R)
         t = backT[SHADE_K]
         idx = backT[SHADE_K + 1].astype(jnp.int32)
         # Contract: rows for lanes [row_from_lane:] only.
-        return t, idx, backT[:SHADE_K, row_from_lane:]
+        return (t, idx, backT[:SHADE_K, row_from_lane:]) + stats
     inv = inv_perm[:R]
-    return out_t[0, inv], out_i[0, inv].astype(jnp.int32)
+    out = (out_t[0, inv], out_i[0, inv].astype(jnp.int32))
+    return out + stats
 
 
 def _v3_of(arr):
