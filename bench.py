@@ -110,13 +110,39 @@ def _chained_frames(wt, tex, camera, *, width, height, spp, depth, n):
         0, n, body, (jnp.zeros(()), jnp.zeros(())))
 
 
-def measure(wt, scene, camera, width, height, spp, depth, n, rt):
+@functools.partial(jax.jit,
+                   static_argnames=("width", "height", "spp", "depth"))
+def _chained_frames_gb(wt, tex, camera, *, width, height, spp, depth, n):
+    """Like _chained_frames but with the G-buffer-seeded bounce 0
+    (render_step(use_gbuffer=True) semantics): rasterize primary visibility,
+    seed every sample's first hit from the id channel. Radiance is
+    bit-identical to the traced path at lens_radius == 0, so the same
+    golden gates both (tests/test_gbuffer_post.py)."""
+    from webgpu_raytracer_tpu.ops.dense_trace import trace_pixels_dense
+    from webgpu_raytracer_tpu.ops.gbuffer import render_gbuffer
+
+    jitter = jnp.zeros(2, jnp.float32)
+
+    def body(i, acc):
+        s, rays = acc
+        gb = render_gbuffer(wt, tex, camera, width, height, jitter=jitter)
+        col, r = trace_pixels_dense(
+            wt, tex, camera, i + 1, jitter, width, height, spp, depth,
+            with_stats=True, seed_wt_idx=gb.wt_idx.reshape(-1))
+        return s + col.mean(), rays + r + width * height
+
+    return jax.lax.fori_loop(
+        0, n, body, (jnp.zeros(()), jnp.zeros(())))
+
+
+def measure(wt, scene, camera, width, height, spp, depth, n, rt,
+            chained=_chained_frames):
     """MARGINAL chained timing: time(run(n)) - time(run(n2)) cancels every
     fixed cost — dispatch, readback, and the tunneled chip's (highly
     variable) round-trip latency — so the result is pure device throughput.
     The older absolute-minus-rt method swung 15% with tunnel weather."""
-    run = lambda k: _chained_frames(wt, scene.textures, camera, width=width,
-                                    height=height, spp=spp, depth=depth, n=k)
+    run = lambda k: chained(wt, scene.textures, camera, width=width,
+                            height=height, spp=spp, depth=depth, n=k)
     n2 = max(1, n // 4)
     s, rays_n = run(n)   # warm (compile) both shapes
     rays_2 = float(np.asarray(run(n2)[1]))
@@ -184,6 +210,16 @@ def main(argv):
             emit("cornell_1080p_d8_mrays_per_sec_per_chip", v, "Mrays/s",
                  spp_per_sec_1080p=round(v * 1e6 / rpf, 2),
                  **golden_fields("cornell_1080p", m, check))
+            # A/B: G-buffer-seeded bounce 0 (the reference's rasterizer
+            # exists purely to make depth 0 cheap — Rasterizer.wgsl:110-173;
+            # delta_vs_traced quantifies whether that pays on TPU).
+            vg, mg, rpfg = measure(wt, scene, cam_hd, 1920, 1080, 1, 8, 8,
+                                   rt, chained=_chained_frames_gb)
+            emit("cornell_1080p_d8_gbuffer_seeded_mrays_per_sec", vg,
+                 "Mrays/s",
+                 delta_vs_traced=round((rpf / max(v, 1e-9))
+                                       / (rpfg / max(vg, 1e-9)) - 1.0, 4),
+                 **golden_fields("cornell_1080p", mg, check))
         except Exception as e:
             emit("cornell_1080p_d8_mrays_per_sec_per_chip", -1.0, "Mrays/s",
                  error=str(e)[:120])
