@@ -56,6 +56,12 @@ def main():
             "sbox": lambda: setattr(pd, "KEY_MODE", "sbox"),
             "obox": lambda: setattr(pd, "KEY_MODE", "obox"),
         }
+    elif mode == "sub":
+        import webgpu_raytracer_tpu.ops.cluster_cull as cc
+        variants = {
+            f"sub{v}": (lambda v=v: setattr(cc, "SUBTILE", v))
+            for v in (1024, 32, 8)
+        }
     else:
         variants = {
             "m1024": lambda: setattr(pd, "M_TILE2", 1024),

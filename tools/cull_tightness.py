@@ -58,6 +58,23 @@ def report(name, rayfT, t_max, sph):
     print(line, flush=True)
 
 
+def report_mtile(name, rayfT, t_max, sph):
+    """Kernel-tile-size sweep: FLOPs scale as sum(count)*m, DMA rows as
+    sum(count). Prints both per 1M lanes so m_tile values are comparable."""
+    rp = rayfT.shape[1]
+    for m in (1024, 512, 256, 128):
+        ex = exact_counts(rayfT, t_max, sph, m)
+        _, _, cnt = jax.jit(tile_cluster_worklist,
+                            static_argnums=(3, 4))(rayfT, t_max, sph, m, 32)
+        cnt = np.asarray(cnt, np.int64)
+        scale = (1 << 20) / rp
+        print(f"{name} m={m:4d}: exact {ex.mean():7.1f} cone32 "
+              f"{cnt.mean():7.1f} | per-1M-lanes: dma-rows "
+              f"{cnt.sum() * scale / 1e3:8.1f}k  lane-cluster "
+              f"{cnt.sum() * m * scale / 1e6:8.1f}M  (exact floor "
+              f"{ex.sum() * m * scale / 1e6:8.1f}M)", flush=True)
+
+
 def main():
     world, wt, scene, camera = build("spheres")
     side = 128
@@ -93,6 +110,7 @@ def main():
 
     rayfT, tmax = sorted_rayft(po, pdir, jnp.full((R,), pd.T_MAX))
     report("primary", rayfT, tmax, sph)
+    report_mtile("primary", rayfT, tmax, sph)
 
     # Synthetic bounce: origins on random cluster sphere surfaces (live
     # geometry region), random directions — the incoherent population.
@@ -109,6 +127,7 @@ def main():
     d = tuple(jnp.asarray(d2[:, i], jnp.float32) for i in range(3))
     rayfT, tmax = sorted_rayft(o, d, jnp.full((R,), pd.T_MAX))
     report("bounce-synth", rayfT, tmax, sph)
+    report_mtile("bounce-synth", rayfT, tmax, sph)
 
 
 if __name__ == "__main__":
