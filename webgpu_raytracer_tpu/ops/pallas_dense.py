@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..render.worldtris import FEAT_K, SHADE_K, SHADE_KP, WorldTris
+from ..render.worldtris import (FEAT_K, FEAT_K3, FEAT_P, SHADE_K, SHADE_KP,
+                                WorldTris)
 
 M_TILE = 2048   # rays per tile (lanes)
 C_TILE = 128    # triangles per tile (large scenes)
@@ -119,10 +120,9 @@ def _kernel(scalars_ref, featk3_ref, rays8_ref, sph_ref, shadek3_ref,
         myv = ozv * dxv - oxv * dzv
         mzv = oxv * dyv - oyv * dxv
         onesv = jnp.ones_like(dxv)
-        zerosv = jnp.zeros_like(dxv)
         rayf = jnp.concatenate(
-            [dxv, dyv, dzv, mxv, myv, mzv, oxv, oyv, ozv, onesv,
-             zerosv, zerosv, zerosv, zerosv, zerosv, zerosv], axis=0)
+            [dxv, dyv, dzv, mxv, myv, mzv, oxv, oyv, ozv, onesv],
+            axis=0)  # (FEAT_P, M) — only the meaningful rows
         # Cancellation-proof split: Mosaic lacks optimization_barrier, and
         # interpret mode inlines into XLA where the excess-precision rule
         # cancels a bf16 round trip (the round-1 wrong-hits bug). Masking
@@ -133,7 +133,8 @@ def _kernel(scalars_ref, featk3_ref, rays8_ref, sph_ref, shadek3_ref,
                                             jnp.float32)
         rh = hi_f.astype(jnp.bfloat16)
         rl = (rayf - hi_f).astype(jnp.bfloat16)
-        rayk3 = jnp.concatenate([rh, rl, rh], axis=0)       # (3K, M)
+        zpad = jnp.zeros((FEAT_K3 - 3 * FEAT_P,) + rh.shape[1:], rh.dtype)
+        rayk3 = jnp.concatenate([rh, rl, rh, zpad], axis=0)  # (K3, M)
 
         # bf16x3 split product: Mosaic's f32 dot is 6 bf16 passes (HIGHEST)
         # or a single quantizing pass (DEFAULT). The three significant cross
@@ -271,7 +272,7 @@ def _run(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
         num_scalar_prefetch=1,
         grid=(n_ray_tiles, n_tri_tiles),
         in_specs=[
-            pl.BlockSpec((1, 3 * FEAT_K, 5 * c), lambda i, j, v: (j, 0, 0)),
+            pl.BlockSpec((1, FEAT_K3, 5 * c), lambda i, j, v: (j, 0, 0)),
             pl.BlockSpec((8, M_TILE), lambda i, j, v: (0, i)),
             pl.BlockSpec((1, 1, 128), lambda i, j, v: (j, 0, 0)),
             pl.BlockSpec((1, SHADE_KP, 3 * c), lambda i, j, v: (j, 0, 0)),
@@ -613,8 +614,9 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
     t_max = sortedT[6]
     rayfT = rayf_from_components(rox, roy, roz, rdx, rdy, rdz)
 
-    rh, rl = _split2(rayfT)
-    rayk3 = jnp.concatenate([rh, rl, rh], axis=0)
+    rh, rl = _split2(rayfT[:FEAT_P])
+    zpad = jnp.zeros((FEAT_K3 - 3 * FEAT_P, rp), rh.dtype)
+    rayk3 = jnp.concatenate([rh, rl, rh, zpad], axis=0)  # (K3, rp)
 
     order, keys, counts = tile_cluster_worklist(rayfT, t_max, sph_flat,
                                                 M_TILE2)
@@ -663,7 +665,7 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, order.shape[2]), lambda i, v: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((3 * FEAT_K, M_TILE2), lambda i, v: (0, i)),
+            pl.BlockSpec((FEAT_K3, M_TILE2), lambda i, v: (0, i)),
             pl.BlockSpec((FEAT_K, M_TILE2), lambda i, v: (0, i)),
             pl.BlockSpec((1, M_TILE2), lambda i, v: (0, i)),
             # cluster-sphere table + scene-sphere row, resident in VMEM
@@ -673,7 +675,7 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2, 3 * FEAT_K, 5 * c), jnp.bfloat16),
+            pltpu.VMEM((2, FEAT_K3, 5 * c), jnp.bfloat16),
             pltpu.VMEM((2, SHADE_KP, 3 * c), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

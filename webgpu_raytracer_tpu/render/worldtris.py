@@ -28,6 +28,13 @@ import jax.numpy as jnp
 
 # Feature-vector layout (K = 16): [d(3), m(3), o(3), 1, pad(6)]
 FEAT_K = 16
+# Meaningful feature rows: only the first 10 are nonzero. The packed MXU
+# operand (featk3/rayk3) keeps JUST these, so the bf16x3 contraction runs
+# at K = 32 instead of 48 — MXU feed cycles scale with K, so the sweep's
+# dominant matmul drops a third of its cost for free (rows 10-15 multiply
+# structural zeros).
+FEAT_P = 10
+FEAT_K3 = 32  # 3 * FEAT_P rounded up to a bf16-sublane (16) multiple
 # Column groups per triangle: s0, s1, s2, t_num, t_den
 N_GROUPS = 5
 
@@ -89,8 +96,9 @@ class WorldTris(NamedTuple):
     # --- Precomputed Pallas kernel operand tables (built once per scene
     # update; building them inside the jitted sweep costs ~1.5 ms of
     # small-op dispatch PER SWEEP on TPU — measured round 2) ---
-    # featk3: (n_tiles, 5C, 3*FEAT_K) bf16 — per-tile transposed Plucker
-    #   features pre-split into the bf16x3 hi/lo cross-term layout.
+    # featk3: (n_tiles, FEAT_K3, 5C) bf16 — per-tile transposed Plucker
+    #   features pre-split into the bf16x3 hi/lo cross-term layout
+    #   [fh | fh | fl | 0] over the FEAT_P meaningful rows.
     featk3: jnp.ndarray
     # spheres: (n_tiles, 1, 128) f32 — per-tile bounding spheres (cull).
     spheres: jnp.ndarray
@@ -168,11 +176,12 @@ def _np_kernel_tables(features, shade, v0, e1, e2):
     twp = v0.shape[0]
     c = tri_tile_width(twp)
     n_tiles = twp // c
-    feats = features.reshape(FEAT_K, 5, n_tiles, c).transpose(
-        2, 0, 1, 3).reshape(n_tiles, FEAT_K, 5 * c)
+    feats = features.reshape(FEAT_K, 5, n_tiles, c)[:FEAT_P].transpose(
+        2, 0, 1, 3).reshape(n_tiles, FEAT_P, 5 * c)
     fh, fl = _np_split2(feats)
-    featk3 = np.concatenate([fh, fh, fl], axis=1)    # (n_tiles, 3K, 5C)
-    # pairs with rayk3 = [rh | rl | rh] along K: fh@rh + fh@rl + fl@rh
+    zpad = np.zeros((n_tiles, FEAT_K3 - 3 * FEAT_P, 5 * c), fh.dtype)
+    featk3 = np.concatenate([fh, fh, fl, zpad], axis=1)  # (n_tiles, K3, 5C)
+    # pairs with rayk3 = [rh | rl | rh | 0] along K: fh@rh + fh@rl + fl@rh
     spheres = _np_tile_spheres(v0, e1, e2, n_tiles)  # (n_tiles, 1, 128)
     shadeT = shade.T.reshape(SHADE_K, n_tiles, c).transpose(1, 0, 2)
     shadeT = np.concatenate(
