@@ -58,6 +58,55 @@ def report(name, rayfT, t_max, sph):
     print(line, flush=True)
 
 
+def super_spheres(sph, g=16):
+    """Bounding spheres of groups of g consecutive clusters: (S, 128)."""
+    sph = np.asarray(sph)
+    ct = sph.shape[0]
+    pad = (-ct) % g
+    if pad:
+        sph = np.concatenate([sph, np.full((pad, sph.shape[1]), -1.0,
+                                           sph.dtype)])
+    grp = sph.reshape(-1, g, sph.shape[1])
+    live = grp[:, :, 3] >= 0
+    n = np.maximum(live.sum(1), 1)
+    c = np.where(live[:, :, None], grp[:, :, 0:3], 0.0).sum(1) / n[:, None]
+    d = np.linalg.norm(grp[:, :, 0:3] - c[:, None, :], axis=2) + grp[:, :, 3]
+    r = np.where(live.any(1), np.where(live, d, 0.0).max(1), -1.0)
+    out = np.zeros((grp.shape[0], 128), np.float32)
+    out[:, 0:3] = c
+    out[:, 3] = r
+    return jnp.asarray(out)
+
+
+def report_hier(name, rayfT, t_max, sph, m=M):
+    """Hierarchical: sub=8 cones vs 16-cluster superspheres AND sub=32 vs
+    cluster spheres. Pair map ~9x smaller than direct sub=8 vs clusters."""
+    wl = jax.jit(tile_cluster_worklist, static_argnums=(3, 4))
+    for g, s_sub, c_sub in ((16, 8, 32), (8, 8, 32), (16, 32, 32)):
+        ssph = super_spheres(sph, g)
+        s_surv = wl(rayfT, t_max, ssph, m, s_sub)
+        # recover the per-tile survivor MASK from (order, keys, counts)
+        order, keys, cnt = s_surv
+        smask = np.asarray(keys) < 3e38            # (T, Sp) sorted positions
+        T = smask.shape[0]
+        sm = np.zeros((T, ssph.shape[0]), bool)
+        o = np.asarray(order)
+        for t in range(T):
+            sm[t, o[t][smask[t]]] = True
+        ct = np.asarray(sph).shape[0]
+        expand = np.repeat(sm, g, axis=1)[:, :ct]  # (T, Ct)
+        _, ckeys, _ = wl(rayfT, t_max, sph, m, c_sub)
+        corder, _, _ = wl(rayfT, t_max, sph, m, c_sub)
+        cmask_sorted = np.asarray(ckeys) < 3e38
+        cm = np.zeros((T, ct), bool)
+        co = np.asarray(corder)
+        for t in range(T):
+            cm[t, co[t][cmask_sorted[t]]] = True
+        both = (cm & expand).sum(1)
+        print(f"{name} hier g={g} ssub={s_sub} csub={c_sub}: "
+              f"{both.mean():7.1f} survivors/tile", flush=True)
+
+
 def report_mtile(name, rayfT, t_max, sph):
     """Kernel-tile-size sweep: FLOPs scale as sum(count)*m, DMA rows as
     sum(count). Prints both per 1M lanes so m_tile values are comparable."""
@@ -110,7 +159,10 @@ def main():
 
     rayfT, tmax = sorted_rayft(po, pdir, jnp.full((R,), pd.T_MAX))
     report("primary", rayfT, tmax, sph)
-    report_mtile("primary", rayfT, tmax, sph)
+    if "--hier" in sys.argv:
+        report_hier("primary", rayfT, tmax, sph)
+    if "--mtile" in sys.argv:
+        report_mtile("primary", rayfT, tmax, sph)
 
     # Synthetic bounce: origins on random cluster sphere surfaces (live
     # geometry region), random directions — the incoherent population.
@@ -127,7 +179,10 @@ def main():
     d = tuple(jnp.asarray(d2[:, i], jnp.float32) for i in range(3))
     rayfT, tmax = sorted_rayft(o, d, jnp.full((R,), pd.T_MAX))
     report("bounce-synth", rayfT, tmax, sph)
-    report_mtile("bounce-synth", rayfT, tmax, sph)
+    if "--hier" in sys.argv:
+        report_hier("bounce-synth", rayfT, tmax, sph)
+    if "--mtile" in sys.argv:
+        report_mtile("bounce-synth", rayfT, tmax, sph)
 
 
 if __name__ == "__main__":
