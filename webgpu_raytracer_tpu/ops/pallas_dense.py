@@ -605,7 +605,9 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
     seg_start = first_row_tile * M_TILE2
     seg = (jnp.arange(rp, dtype=jnp.int32) >= seg_start).astype(jnp.int32)
     perm = jnp.argsort(key + seg * (1 << 14))
-    inv_perm = jnp.argsort(perm)
+    # Inverse permutation by scatter (one pass) instead of a second argsort.
+    inv_perm = jnp.zeros((rp,), jnp.int32).at[perm].set(
+        jnp.arange(rp, dtype=jnp.int32), unique_indices=True)
     comps = jnp.stack([rox, roy, roz, rdx, rdy, rdz, t_max,
                        jnp.zeros_like(t_max)], axis=1)      # (rp, 8)
     sortedT = comps[perm, :].T                              # (8, rp)
