@@ -74,8 +74,9 @@ def test_dense_trace_matches_bvh_trace():
 
 
 def test_banded_trace_bit_identical(monkeypatch):
-    """Row-band strip-mining (the 1080p working-set fix) must not change a
-    single bit: per-lane RNG and arithmetic are band-invariant."""
+    """Strip-mining (the 1080p working-set fix) must not change a single
+    bit, whichever band axis: per-pixel RNG and arithmetic depend only on
+    global pixel coords."""
     import webgpu_raytracer_tpu.ops.dense_trace as dt
 
     world = NativeWorld("cornell")
@@ -93,6 +94,45 @@ def test_banded_trace_bit_identical(monkeypatch):
     b, rb = dt.trace_pixels_dense(*args, with_stats=True)
     assert (np.asarray(a) == np.asarray(b)).all()
     assert float(ra) == float(rb)
+
+
+def test_column_banded_landscape_matches(monkeypatch):
+    """Landscape frames auto-select column strips. Per-pixel math depends
+    only on global pixel coords; but the
+    column program is a DIFFERENT XLA program than the row/unbanded one and
+    CPU codegen contracts the ray-gen chain with different FMA choices:
+    ~90% of pixels stay bit-equal, the rest shift by ~1 ULP, and a <1%
+    tail of near-tie edge hits flips winner (bounded absolute jumps; a
+    flipped hit also shifts that lane's path length, so ray counts may
+    drift by a few rays in ten thousand).
+    Verified separately: within ONE program, arbitrary batch permutations
+    are bit-identical (the sweep itself is arrangement-insensitive).
+    Covers the G-buffer-seeded path too (seed channel transposed/strip)."""
+    import webgpu_raytracer_tpu.ops.dense_trace as dt
+    from webgpu_raytracer_tpu.ops.gbuffer import render_gbuffer
+
+    world = NativeWorld("cornell")
+    world.update_camera(64, 40)
+    scene = build_device_scene(world)
+    wt = build_world_tris(world)
+    cam = jnp.asarray(world.camera())
+    fc = jnp.asarray(1, jnp.int32)
+    j = jnp.zeros(2, jnp.float32)
+    seed = render_gbuffer(wt, scene.textures, cam, 64, 40,
+                          jitter=j).wt_idx.reshape(-1)
+    for sd in (None, seed):
+        args = (wt, scene.textures, cam, fc, j, 64, 40, 1, 4)
+        a, ra = dt.trace_pixels_dense(*args, with_stats=True, seed_wt_idx=sd)
+        monkeypatch.setattr(dt, "BAND_MIN_R", 0)
+        monkeypatch.setattr(dt, "BAND_TARGET", 40 * 16)
+        assert dt._pick_bands(40, 64) == 4  # 4 column strips of 16
+        b, rb = dt.trace_pixels_dense(*args, with_stats=True, seed_wt_idx=sd)
+        a, b = np.asarray(a), np.asarray(b)
+        close = np.isclose(a, b, rtol=1e-5, atol=1e-6).all(axis=1).mean()
+        assert close >= 0.99, close
+        assert np.abs(a - b).mean() < 1e-4
+        assert abs(float(ra) - float(rb)) <= 1e-3 * float(ra)
+        monkeypatch.undo()
 
 
 def test_dense_lights_mapping():

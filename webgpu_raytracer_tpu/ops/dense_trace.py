@@ -611,6 +611,8 @@ BAND_TARGET = 140000   # lanes per band at large R (scanned optimum on v5e:
                        # 1080p best at 15 bands = 138k lanes, +54% vs unbanded)
 BAND_MIN_R = 1 << 19   # frames at or below this run unbanded (banding 512^2
                        # measurably HURTS: per-band fixed costs dominate)
+BAND_AXIS = "auto"     # "auto": COLUMN bands for landscape frames (see below),
+                       # row bands otherwise; "rows"/"cols" force (A/B knob)
 
 
 def _pick_bands(width: int, height: int) -> int:
@@ -648,12 +650,15 @@ def trace_pixels_dense(wt: WorldTris, textures, camera24, frame_count, jitter,
     sample's own ray so, at lens_radius == 0, radiance is bit-identical to
     the traced-primary path.
 
-    Frames larger than BAND_TARGET lanes are STRIP-MINED into row bands
+    Frames larger than BAND_TARGET lanes are STRIP-MINED into bands
     processed sequentially inside the jitted step: the per-bounce working
     set (~30 fusions of (R,) state + (40, R) shade rows) stays VMEM-close
     at its 512^2-class sweet spot instead of thrashing HBM at 1080p
-    (measured 2.3x per-ray collapse without it). Per-lane RNG and
-    arithmetic are band-invariant, so radiance is bit-identical to the
+    (measured 2.3x per-ray collapse without it). Landscape frames band by
+    COLUMN strips (BAND_AXIS) so the dead horizontal periphery collapses
+    into all-dead bands whose bounce loops skip entirely; portrait/square
+    frames band by rows. Per-pixel RNG and arithmetic depend only on the
+    global pixel coords, so every banding layout is bit-identical to the
     unbanded path.
     """
     if full_height is None:
@@ -662,6 +667,53 @@ def trace_pixels_dense(wt: WorldTris, textures, camera24, frame_count, jitter,
         total_spp = spp
 
     nb = _pick_bands(width, height)
+    use_cols = BAND_AXIS == "cols" or (BAND_AXIS == "auto" and width > height)
+    if use_cols:
+        # Bands as COLUMN strips, lanes column-major inside each strip.
+        # Rationale: dead pixels cluster at the horizontal periphery of
+        # landscape frames (a 16:9 view of centered content — measured on
+        # cornell 1080p: 4.86 rays/pixel vs 8.7 at 1:1, i.e. ~45% of lanes
+        # die at bounce 0/1). Row bands all span the full width so no band
+        # ever goes all-dead and every band pays all `max_depth` bounces;
+        # column strips isolate the dead periphery and their bounce loops
+        # skip via the existing any(active) lax.cond. Per-pixel RNG and
+        # arithmetic are enumeration-invariant, so radiance is bit-identical
+        # to the row-banded path (one transpose re-assembles the frame).
+        nbc = _pick_bands(height, width)  # band count dividing WIDTH
+        if nbc > 1:
+            band_w = width // nbc
+            band_R = band_w * height
+            seed_t = None
+            if seed_wt_idx is not None:
+                seed_t = seed_wt_idx.reshape(height, width).T.reshape(-1)
+
+            def cband_body(b, carry):
+                out, rays = carry
+                seed_b = None
+                if seed_t is not None:
+                    seed_b = jax.lax.dynamic_slice(
+                        seed_t, (b * band_R,), (band_R,))
+                lane = jnp.arange(band_R, dtype=jnp.uint32)
+                gx = lane // jnp.uint32(height) \
+                    + jnp.asarray(b, jnp.uint32) * jnp.uint32(band_w)
+                gy = lane % jnp.uint32(height) + jnp.asarray(row0, jnp.uint32)
+                col_b, rays_b = _trace_lanes(
+                    wt, textures, camera24, frame_count, jitter, gx, gy,
+                    width, full_height, spp, max_depth, total_spp, sample0,
+                    seed_b)
+                out = jax.lax.dynamic_update_slice(out, col_b, (b * band_R, 0))
+                return out, rays + rays_b
+
+            out, rays = jax.lax.fori_loop(
+                0, nbc, cband_body,
+                (jnp.zeros((width * height, 3), jnp.float32),
+                 jnp.zeros((), jnp.float32)))
+            out = out.reshape(width, height, 3).swapaxes(0, 1) \
+                .reshape(width * height, 3)
+            if with_stats:
+                return out, rays
+            return out
+
     if nb > 1:
         band_h = height // nb
         band_R = width * band_h
@@ -672,12 +724,13 @@ def trace_pixels_dense(wt: WorldTris, textures, camera24, frame_count, jitter,
             if seed_wt_idx is not None:
                 seed_b = jax.lax.dynamic_slice(seed_wt_idx, (b * band_R,),
                                                (band_R,))
-            col_b, rays_b = trace_pixels_dense(
-                wt, textures, camera24, frame_count, jitter, width, band_h,
-                spp, max_depth, row0=jnp.asarray(row0, jnp.uint32)
-                + jnp.asarray(b, jnp.uint32) * jnp.uint32(band_h),
-                full_height=full_height, total_spp=total_spp,
-                sample0=sample0, with_stats=True, seed_wt_idx=seed_b)
+            lane = jnp.arange(band_R, dtype=jnp.uint32)
+            gx = lane % jnp.uint32(width)
+            gy = lane // jnp.uint32(width) + jnp.asarray(row0, jnp.uint32) \
+                + jnp.asarray(b, jnp.uint32) * jnp.uint32(band_h)
+            col_b, rays_b = _trace_lanes(
+                wt, textures, camera24, frame_count, jitter, gx, gy, width,
+                full_height, spp, max_depth, total_spp, sample0, seed_b)
             out = jax.lax.dynamic_update_slice(out, col_b, (b * band_R, 0))
             return out, rays + rays_b
 
@@ -689,8 +742,30 @@ def trace_pixels_dense(wt: WorldTris, textures, camera24, frame_count, jitter,
             return out, rays
         return out
 
+    R = width * height
+    lane = jnp.arange(R, dtype=jnp.uint32)
+    gx = lane % jnp.uint32(width)
+    gy = lane // jnp.uint32(width) + jnp.asarray(row0, jnp.uint32)
+    out = _trace_lanes(wt, textures, camera24, frame_count, jitter, gx, gy,
+                       width, full_height, spp, max_depth, total_spp,
+                       sample0, seed_wt_idx)
+    if with_stats:
+        return out
+    return out[0]
+
+
+def _trace_lanes(wt: WorldTris, textures, camera24, frame_count, jitter,
+                 gx, gy, width: int, full_height: int, spp: int,
+                 max_depth: int, total_spp: int, sample0, seed_wt_idx):
+    """Trace one batch of lanes at GLOBAL pixel coords (gx, gy) (R,) u32.
+
+    Pixel enumeration order is the caller's choice (row-major frame, row
+    band, column strip): per-pixel RNG streams and arithmetic depend only
+    on (gx, gy), so any partition of the frame produces bit-identical
+    radiance per pixel. Returns (col (R, 3), rays ())."""
     cam = camera24  # (24,) block, see scene/camera contract
-    origin = splat((cam[0], cam[1], cam[2]), jnp.zeros(width * height))
+    R = gx.shape[0]
+    origin = splat((cam[0], cam[1], cam[2]), jnp.zeros(R))
     lens_radius = cam[3]
     lower_left = (cam[4], cam[5], cam[6])
     horizontal = (cam[8], cam[9], cam[10])
@@ -698,12 +773,9 @@ def trace_pixels_dense(wt: WorldTris, textures, camera24, frame_count, jitter,
     u_axis = (cam[16], cam[17], cam[18])
     v_axis = (cam[20], cam[21], cam[22])
 
-    R = width * height
-    lane = jnp.arange(R, dtype=jnp.uint32)
-    px = (lane % jnp.uint32(width)).astype(jnp.float32)
-    gy = lane // jnp.uint32(width) + jnp.asarray(row0, jnp.uint32)
+    px = gx.astype(jnp.float32)
     py = gy.astype(jnp.float32)
-    p_idx = gy * jnp.uint32(width) + (lane % jnp.uint32(width))
+    p_idx = gy * jnp.uint32(width) + gx
 
     def one_sample(i, acc):
         rng = init_rng(
@@ -741,6 +813,4 @@ def trace_pixels_dense(wt: WorldTris, textures, camera24, frame_count, jitter,
         0, spp, one_sample, (zero, zero, zero, jnp.zeros((), jnp.float32)))
     inv = 1.0 / spp
     col = jnp.stack([cx * inv, cy * inv, cz * inv], axis=-1)
-    if with_stats:
-        return col, rays
-    return col
+    return col, rays
