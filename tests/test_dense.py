@@ -96,6 +96,31 @@ def test_banded_trace_bit_identical(monkeypatch):
     assert float(ra) == float(rb)
 
 
+def test_tail_compaction_matches(monkeypatch):
+    """Static tail compaction (live lanes -> R/TAIL_DIV buffer after RR
+    collapses liveness) must reproduce the uncompacted frame, on both the
+    compacted branch and the full-R overflow fallback. At 64x48 d8 with
+    TAIL_DIV=4 the budget is 2048 lanes: ~77 live at bounce 5 exercises the
+    compact branch; TAIL_DEPTH=1 (~2.4k live) exercises the fallback."""
+    import webgpu_raytracer_tpu.ops.dense_trace as dt
+
+    world = NativeWorld("cornell")
+    world.update_camera(64, 48)
+    scene = build_device_scene(world)
+    wt = build_world_tris(world)
+    cam = jnp.asarray(world.camera())
+    args = (wt, scene.textures, cam, jnp.asarray(2, jnp.int32),
+            jnp.zeros(2, jnp.float32), 64, 48, 1, 8)
+    a, ra = dt.trace_pixels_dense(*args, with_stats=True)
+    monkeypatch.setattr(dt, "TAIL_MIN_R", 0)
+    monkeypatch.setattr(dt, "TAIL_DIV", 4)
+    for tail_depth in (5, 1):  # compacted branch, then overflow fallback
+        monkeypatch.setattr(dt, "TAIL_DEPTH", tail_depth)
+        b, rb = dt.trace_pixels_dense(*args, with_stats=True)
+        assert (np.asarray(a) == np.asarray(b)).all(), tail_depth
+        assert float(ra) == float(rb)
+
+
 def test_column_banded_landscape_matches(monkeypatch):
     """Landscape frames auto-select column strips. Per-pixel math depends
     only on global pixel coords; but the

@@ -336,6 +336,11 @@ def _offset_eps(p: V3):
     return 1e-4 * jnp.maximum(1.0, m)
 
 
+TAIL_DEPTH = 5      # first bounce of the compacted tail (after RR bites)
+TAIL_DIV = 8        # static tail budget = R / TAIL_DIV (full-R fallback)
+TAIL_MIN_R = 200000  # no compaction below this lane count (512^2-class on)
+
+
 def ray_color_dense(wt: WorldTris, textures, ro: V3, rd: V3, rng,
                     max_depth: int, hit0: DenseHit | None = None):
     """Returns (radiance V3, rng, rays): `rays` is the EXACT number of rays
@@ -386,6 +391,8 @@ def ray_color_dense(wt: WorldTris, textures, ro: V3, rd: V3, rng,
                             lambda st: _bounce(depth, st), lambda st: st, s)
 
     def _bounce(depth, s: _S):
+        ones = jnp.ones_like(s.prev_pdf)  # shape-polymorphic: the tail
+        # compaction (below) re-enters this body at R_tail lanes
         rowT = s.hit.rowT
         mat = _row_f(rowT, "mat").astype(jnp.int32)
         tex_mr = jnp.where(s.active, _row_f(rowT, "tex", 1), -1.0) \
@@ -509,8 +516,68 @@ def ray_color_dense(wt: WorldTris, textures, ro: V3, rd: V3, rng,
         return _S(active, ro_next, rd_next, throughput, radiance, rng,
                   prev_pdf, specular_bounce, hit, rays)
 
-    out = jax.lax.fori_loop(0, max_depth, body, state)
-    return out.radiance, out.rng, out.rays
+    # --- Static TAIL COMPACTION (large frames, deep paths) ---
+    # After Russian roulette bites, bounces TAIL_DEPTH.. run at ~2-7% live
+    # lanes (measured: cornell per-bounce live collapses 28% -> 2.5% across
+    # bounce 4's RR) yet still pay full-R sweeps and ~30 full-R fusions —
+    # ~1/3 of the frame serving <5% of the rays. Compact the live lanes
+    # into a static R/TAIL_DIV buffer (one (R, 28) row gather + one rowT
+    # transpose-gather), run the remaining bounces compacted, scatter
+    # radiance back. If the live count overflows the static budget, a
+    # full-R fallback branch preserves correctness for any scene.
+    r_tail = -(-(R // TAIL_DIV) // 2048) * 2048
+    if max_depth <= TAIL_DEPTH or R < TAIL_MIN_R or r_tail >= R:
+        out = jax.lax.fori_loop(0, max_depth, body, state)
+        return out.radiance, out.rng, out.rays
+
+    s = jax.lax.fori_loop(0, TAIL_DEPTH, body, state)
+    live = s.active
+
+    def full_tail(s):
+        out = jax.lax.fori_loop(TAIL_DEPTH, max_depth, body, s)
+        return out.radiance, out.rng, out.rays
+
+    def compact_tail(s):
+        bc = jax.lax.bitcast_convert_type
+        idxc = jnp.argsort(jnp.logical_not(live))[:r_tail]  # live first
+        flags = s.active.astype(jnp.uint32) \
+            | (s.specular_bounce.astype(jnp.uint32) << 1)
+        rows = jnp.stack([
+            s.ro.x, s.ro.y, s.ro.z, s.rd.x, s.rd.y, s.rd.z,
+            s.throughput.x, s.throughput.y, s.throughput.z,
+            s.radiance.x, s.radiance.y, s.radiance.z,
+            s.prev_pdf,
+            s.hit.hit_t, s.hit.tex_u, s.hit.tex_v,
+            s.hit.normal.x, s.hit.normal.y, s.hit.normal.z,
+            s.hit.geom_n.x, s.hit.geom_n.y, s.hit.geom_n.z,
+            s.hit.albedo.x, s.hit.albedo.y, s.hit.albedo.z,
+            bc(s.rng, jnp.float32), bc(s.hit.wt, jnp.float32),
+            bc(flags, jnp.float32),
+        ], axis=1)                               # (R, 28) — ONE row gather
+        g = jnp.take(rows, idxc, axis=0, unique_indices=True)
+        rowT_c = jnp.take(s.hit.rowT.T, idxc, axis=0,
+                          unique_indices=True).T
+        V = lambda i: V3(g[:, i], g[:, i + 1], g[:, i + 2])
+        bits = bc(g[:, 27], jnp.uint32)
+        sc = _S(
+            active=(bits & 1).astype(bool),
+            ro=V(0), rd=V(3), throughput=V(6), radiance=V(9),
+            rng=bc(g[:, 25], jnp.uint32),
+            prev_pdf=g[:, 12],
+            specular_bounce=((bits >> 1) & 1).astype(bool),
+            hit=DenseHit(rowT_c, bc(g[:, 26], jnp.int32),
+                         g[:, 13], g[:, 14], g[:, 15], V(16), V(19), V(22)),
+            rays=s.rays,
+        )
+        out = jax.lax.fori_loop(TAIL_DEPTH, max_depth, body, sc)
+        rad = V3(
+            s.radiance.x.at[idxc].set(out.radiance.x, unique_indices=True),
+            s.radiance.y.at[idxc].set(out.radiance.y, unique_indices=True),
+            s.radiance.z.at[idxc].set(out.radiance.z, unique_indices=True))
+        rng_full = s.rng.at[idxc].set(out.rng, unique_indices=True)
+        return rad, rng_full, out.rays
+
+    return jax.lax.cond(live.sum() <= r_tail, compact_tail, full_tail, s)
 
 
 def ray_color_dense_rows(wt: WorldTris, textures, ro: V3, rd: V3, rng,
