@@ -338,7 +338,10 @@ def _offset_eps(p: V3):
 
 TAIL_DEPTH = 5      # first bounce of the compacted tail (after RR bites)
 TAIL_DIV = 8        # static tail budget = R / TAIL_DIV (full-R fallback)
-TAIL_MIN_R = 200000  # no compaction below this lane count (512^2-class on)
+TAIL_MIN_R = 100000  # no compaction below this lane count: 1080p column
+                     # strips (138k lanes) and 512^2 frames (262k) compact;
+                     # the 256^2 multichip dryrun (65k) and CI-size frames
+                     # stay on the single-program path
 
 
 def ray_color_dense(wt: WorldTris, textures, ro: V3, rd: V3, rng,
