@@ -22,6 +22,31 @@ def main():
     rt = tunnel_rt()
     world, wt, scene, camera = build("cornell", width=w, height=h)
 
+    mode = sys.argv[4] if len(sys.argv) > 4 else "band"
+    if mode == "tail":
+        # Sweep tail-compaction knobs (trace-time module state) at the
+        # default band layout. "off" = compaction disabled.
+        variants = [("off", 99, 8), ("d4/8", 4, 8), ("d5/8", 5, 8),
+                    ("d6/8", 6, 8), ("d3/4", 3, 4), ("d5/16", 5, 16)]
+        for name, td, div in variants:
+            dt.TAIL_DEPTH, dt.TAIL_DIV = td, div
+            jax.clear_caches()
+            t0 = time.perf_counter()
+            v, mean_rad, rpf = measure(wt, scene, camera, w, h, 1, depth,
+                                       8, rt)
+            print(f"tail {name}: {v:.2f} Mrays/s  mean={mean_rad:.4f} "
+                  f"(wall {time.perf_counter()-t0:.0f}s)", flush=True)
+        return
+    if mode == "axis":
+        for axis in ("rows", "cols"):
+            dt.BAND_AXIS = axis
+            jax.clear_caches()
+            t0 = time.perf_counter()
+            v, mean_rad, rpf = measure(wt, scene, camera, w, h, 1, depth,
+                                       8, rt)
+            print(f"axis {axis}: {v:.2f} Mrays/s  mean={mean_rad:.4f} "
+                  f"(wall {time.perf_counter()-t0:.0f}s)", flush=True)
+        return
     for name, target in (("banded-10", 210000), ("banded-12", 175000),
                          ("banded-15", 140000), ("banded-18", 115200),
                          ("banded-24", 86500), ("banded-36", 57600),
