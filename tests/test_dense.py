@@ -97,11 +97,12 @@ def test_banded_trace_bit_identical(monkeypatch):
 
 
 def test_tail_compaction_matches(monkeypatch):
-    """Static tail compaction (live lanes -> R/TAIL_DIV buffer after RR
-    collapses liveness) must reproduce the uncompacted frame, on both the
-    compacted branch and the full-R overflow fallback. At 64x48 d8 with
-    TAIL_DIV=4 the budget is 2048 lanes: ~77 live at bounce 5 exercises the
-    compact branch; TAIL_DEPTH=1 (~2.4k live) exercises the fallback."""
+    """Static tail compaction (live lanes -> R/div buffers after RR
+    collapses liveness) must reproduce the uncompacted frame, on the
+    compacted branch, the overflow fallback, and a two-stage ladder.
+    At 64x48 d8 with div=4 the budget is 2048 lanes: ~77 live at bounce 5
+    exercises the compact branch; a stage at depth 1 (~2.4k live)
+    exercises the fallback."""
     import webgpu_raytracer_tpu.ops.dense_trace as dt
 
     world = NativeWorld("cornell")
@@ -113,12 +114,15 @@ def test_tail_compaction_matches(monkeypatch):
             jnp.zeros(2, jnp.float32), 64, 48, 1, 8)
     a, ra = dt.trace_pixels_dense(*args, with_stats=True)
     monkeypatch.setattr(dt, "TAIL_MIN_R", 0)
-    monkeypatch.setattr(dt, "TAIL_DIV", 4)
-    for tail_depth in (5, 1):  # compacted branch, then overflow fallback
-        monkeypatch.setattr(dt, "TAIL_DEPTH", tail_depth)
+    monkeypatch.setattr(dt, "TAIL_ALIGN", 256)
+    for stages in (((5, 4),),        # compacted branch
+                   ((1, 4),),        # overflow -> same-width fallback
+                   ((1, 4), (5, 4)),  # stage 1 overflows, stage 2 compacts
+                   ((4, 4), (6, 12))):  # two-stage ladder, both compact
+        monkeypatch.setattr(dt, "TAIL_STAGES", stages)
         b, rb = dt.trace_pixels_dense(*args, with_stats=True)
-        assert (np.asarray(a) == np.asarray(b)).all(), tail_depth
-        assert float(ra) == float(rb)
+        assert (np.asarray(a) == np.asarray(b)).all(), stages
+        assert float(ra) == float(rb), stages
 
 
 def test_column_banded_landscape_matches(monkeypatch):

@@ -336,8 +336,12 @@ def _offset_eps(p: V3):
     return 1e-4 * jnp.maximum(1.0, m)
 
 
-TAIL_DEPTH = 5      # first bounce of the compacted tail (after RR bites)
-TAIL_DIV = 8        # static tail budget = R / TAIL_DIV (full-R fallback)
+# Tail-compaction schedule: ((depth, div), ...) — from bounce `depth`
+# onward, live lanes run in a static ceil(R/div) buffer (with a same-width
+# fallback when the live count overflows). Depths ascend; budgets are
+# relative to the ORIGINAL R.
+TAIL_STAGES = ((5, 8),)
+TAIL_ALIGN = 2048    # round budgets up to kernel-tile-friendly multiples
 TAIL_MIN_R = 100000  # no compaction below this lane count: 1080p column
                      # strips (138k lanes) and 512^2 frames (262k) compact;
                      # the 256^2 multichip dryrun (65k) and CI-size frames
@@ -520,29 +524,20 @@ def ray_color_dense(wt: WorldTris, textures, ro: V3, rd: V3, rng,
                   prev_pdf, specular_bounce, hit, rays)
 
     # --- Static TAIL COMPACTION (large frames, deep paths) ---
-    # After Russian roulette bites, bounces TAIL_DEPTH.. run at ~2-7% live
-    # lanes (measured: cornell per-bounce live collapses 28% -> 2.5% across
-    # bounce 4's RR) yet still pay full-R sweeps and ~30 full-R fusions —
-    # ~1/3 of the frame serving <5% of the rays. Compact the live lanes
-    # into a static R/TAIL_DIV buffer (one (R, 28) row gather + one rowT
-    # transpose-gather), run the remaining bounces compacted, scatter
-    # radiance back. If the live count overflows the static budget, a
-    # full-R fallback branch preserves correctness for any scene.
-    r_tail = -(-(R // TAIL_DIV) // 2048) * 2048
-    if max_depth <= TAIL_DEPTH or R < TAIL_MIN_R or r_tail >= R:
-        out = jax.lax.fori_loop(0, max_depth, body, state)
-        return out.radiance, out.rng, out.rays
-
-    s = jax.lax.fori_loop(0, TAIL_DEPTH, body, state)
-    live = s.active
-
-    def full_tail(s):
-        out = jax.lax.fori_loop(TAIL_DEPTH, max_depth, body, s)
-        return out.radiance, out.rng, out.rays
-
-    def compact_tail(s):
+    # After Russian roulette bites, late bounces run at ~2-7% live lanes
+    # (measured: cornell per-bounce live collapses 28% -> 2.5% across
+    # bounce 4's RR; open scenes collapse even earlier via escape) yet
+    # still pay full-R sweeps and ~30 full-R fusions — ~1/3 of the frame
+    # serving <5% of the rays. At each TAIL_STAGES (depth, div) boundary
+    # the live lanes are compacted into a static ceil(R/div) buffer (one
+    # (R, 28) row gather + one rowT transpose-gather; int/bool state rides
+    # bitcast f32 rows — gathers/stacks are bit-preserving memory ops),
+    # the remaining bounces run compacted, and radiance/rng scatter back.
+    # If a stage's live count overflows its budget, a same-width fallback
+    # branch skips just that stage (later stages still apply), preserving
+    # correctness for any scene.
+    def _compact_to(s, idxc):
         bc = jax.lax.bitcast_convert_type
-        idxc = jnp.argsort(jnp.logical_not(live))[:r_tail]  # live first
         flags = s.active.astype(jnp.uint32) \
             | (s.specular_bounce.astype(jnp.uint32) << 1)
         rows = jnp.stack([
@@ -562,7 +557,7 @@ def ray_color_dense(wt: WorldTris, textures, ro: V3, rd: V3, rng,
                           unique_indices=True).T
         V = lambda i: V3(g[:, i], g[:, i + 1], g[:, i + 2])
         bits = bc(g[:, 27], jnp.uint32)
-        sc = _S(
+        return _S(
             active=(bits & 1).astype(bool),
             ro=V(0), rd=V(3), throughput=V(6), radiance=V(9),
             rng=bc(g[:, 25], jnp.uint32),
@@ -572,15 +567,40 @@ def ray_color_dense(wt: WorldTris, textures, ro: V3, rd: V3, rng,
                          g[:, 13], g[:, 14], g[:, 15], V(16), V(19), V(22)),
             rays=s.rays,
         )
-        out = jax.lax.fori_loop(TAIL_DEPTH, max_depth, body, sc)
-        rad = V3(
-            s.radiance.x.at[idxc].set(out.radiance.x, unique_indices=True),
-            s.radiance.y.at[idxc].set(out.radiance.y, unique_indices=True),
-            s.radiance.z.at[idxc].set(out.radiance.z, unique_indices=True))
-        rng_full = s.rng.at[idxc].set(out.rng, unique_indices=True)
-        return rad, rng_full, out.rays
 
-    return jax.lax.cond(live.sum() <= r_tail, compact_tail, full_tail, s)
+    def _run_from(depth0: int, s, stages):
+        """fori to the next stage boundary (or the end), cond-compact,
+        recurse. Budgets are relative to the ORIGINAL R, so a skipped
+        (overflowed) stage leaves later stages intact."""
+        if not stages:
+            out = jax.lax.fori_loop(depth0, max_depth, body, s)
+            return out.radiance, out.rng, out.rays
+        (d, div), rest = stages[0], stages[1:]
+        s = jax.lax.fori_loop(depth0, d, body, s)
+        r_cur = s.prev_pdf.shape[0]
+        r_new = -(-(R // div) // TAIL_ALIGN) * TAIL_ALIGN
+        if r_new >= r_cur:
+            return _run_from(d, s, rest)
+        live = s.active
+
+        def full(s):
+            return _run_from(d, s, rest)
+
+        def compact(s):
+            idxc = jnp.argsort(jnp.logical_not(live))[:r_new]  # live first
+            rad, rng2, rays = _run_from(d, _compact_to(s, idxc), rest)
+            rad = V3(
+                s.radiance.x.at[idxc].set(rad.x, unique_indices=True),
+                s.radiance.y.at[idxc].set(rad.y, unique_indices=True),
+                s.radiance.z.at[idxc].set(rad.z, unique_indices=True))
+            return rad, s.rng.at[idxc].set(rng2, unique_indices=True), rays
+
+        return jax.lax.cond(live.sum() <= r_new, compact, full, s)
+
+    stages = [sv for sv in TAIL_STAGES if 0 < sv[0] < max_depth]
+    if R < TAIL_MIN_R:
+        stages = []
+    return _run_from(0, state, tuple(stages))
 
 
 def ray_color_dense_rows(wt: WorldTris, textures, ro: V3, rd: V3, rng,
