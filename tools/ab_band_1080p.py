@@ -26,10 +26,11 @@ def main():
     if mode == "tail":
         # Sweep tail-compaction knobs (trace-time module state) at the
         # default band layout. "off" = compaction disabled.
-        variants = [("off", 99, 8), ("d4/8", 4, 8), ("d5/8", 5, 8),
-                    ("d6/8", 6, 8), ("d3/4", 3, 4), ("d5/16", 5, 16)]
-        for name, td, div in variants:
-            dt.TAIL_DEPTH, dt.TAIL_DIV = td, div
+        variants = [("off", ()), ("d4/8", ((4, 8),)), ("d5/8", ((5, 8),)),
+                    ("d6/8", ((6, 8),)), ("d3/4+d5/16", ((3, 4), (5, 16))),
+                    ("d5/16", ((5, 16),))]
+        for name, stages in variants:
+            dt.TAIL_STAGES = stages
             jax.clear_caches()
             t0 = time.perf_counter()
             v, mean_rad, rpf = measure(wt, scene, camera, w, h, 1, depth,

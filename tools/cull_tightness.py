@@ -82,6 +82,7 @@ def report_hier(name, rayfT, t_max, sph, m=M):
     """Hierarchical: sub=8 cones vs 16-cluster superspheres AND sub=32 vs
     cluster spheres. Pair map ~9x smaller than direct sub=8 vs clusters."""
     wl = jax.jit(tile_cluster_worklist, static_argnums=(3, 4))
+    cm_cache = {}
     for g, s_sub, c_sub in ((16, 8, 32), (8, 8, 32), (16, 32, 32)):
         ssph = super_spheres(sph, g)
         s_surv = wl(rayfT, t_max, ssph, m, s_sub)
@@ -95,13 +96,15 @@ def report_hier(name, rayfT, t_max, sph, m=M):
             sm[t, o[t][smask[t]]] = True
         ct = np.asarray(sph).shape[0]
         expand = np.repeat(sm, g, axis=1)[:, :ct]  # (T, Ct)
-        _, ckeys, _ = wl(rayfT, t_max, sph, m, c_sub)
-        corder, _, _ = wl(rayfT, t_max, sph, m, c_sub)
-        cmask_sorted = np.asarray(ckeys) < 3e38
-        cm = np.zeros((T, ct), bool)
-        co = np.asarray(corder)
-        for t in range(T):
-            cm[t, co[t][cmask_sorted[t]]] = True
+        if cm_cache.get(c_sub) is None:
+            corder, ckeys, _ = wl(rayfT, t_max, sph, m, c_sub)
+            cmask_sorted = np.asarray(ckeys) < 3e38
+            cm = np.zeros((T, ct), bool)
+            co = np.asarray(corder)
+            for t in range(T):
+                cm[t, co[t][cmask_sorted[t]]] = True
+            cm_cache[c_sub] = cm
+        cm = cm_cache[c_sub]
         both = (cm & expand).sum(1)
         print(f"{name} hier g={g} ssub={s_sub} csub={c_sub}: "
               f"{both.mean():7.1f} survivors/tile", flush=True)

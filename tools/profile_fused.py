@@ -104,8 +104,10 @@ def main():
         sortedT = comps[perm, :].T
         rayfT = pd.rayf_from_components(sortedT[0], sortedT[1], sortedT[2],
                                         sortedT[3], sortedT[4], sortedT[5])
-        rh, rl = pd._split2(rayfT)
-        rayk3 = jnp.concatenate([rh, rl, rh], axis=0)
+        from webgpu_raytracer_tpu.render.worldtris import FEAT_K3, FEAT_P
+        rh, rl = pd._split2(rayfT[:FEAT_P])
+        zpad = jnp.zeros((FEAT_K3 - 3 * FEAT_P, rayfT.shape[1]), rh.dtype)
+        rayk3 = jnp.concatenate([rh, rl, rh, zpad], axis=0)
         order, keys, counts = tile_cluster_worklist(rayfT, sortedT[6],
                                                     sph_flat, pd.M_TILE2)
         return rayk3.sum() + order.sum() + keys.sum() + counts.sum() \

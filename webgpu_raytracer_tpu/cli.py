@@ -73,6 +73,9 @@ def cmd_render(args):
 
     r = _make_renderer(args)
     use_gbuffer = getattr(args, "gbuffer", False)
+    if use_gbuffer and r.backend != "dense":
+        print("[render] --gbuffer requires the dense backend; ignored")
+        use_gbuffer = False
     print(f"[render] scene={args.scene} {args.width}x{args.height} "
           f"depth={args.depth} backend={r.backend}"
           + (" gbuffer" if use_gbuffer else ""))

@@ -748,8 +748,11 @@ def trace_pixels_dense(wt: WorldTris, textures, camera24, frame_count, jitter,
     COLUMN strips (BAND_AXIS) so the dead horizontal periphery collapses
     into all-dead bands whose bounce loops skip entirely; portrait/square
     frames band by rows. Per-pixel RNG and arithmetic depend only on the
-    global pixel coords, so every banding layout is bit-identical to the
-    unbanded path.
+    global pixel coords: ROW banding is bit-identical to the unbanded path
+    (test_banded_trace_bit_identical); COLUMN banding is a different XLA
+    program whose codegen may contract the ray-gen chain with different
+    FMA choices — ~1 ULP shifts on a minority of pixels, <1% near-tie
+    winner flips (see test_column_banded_landscape_matches).
     """
     if full_height is None:
         full_height = height
@@ -767,8 +770,8 @@ def trace_pixels_dense(wt: WorldTris, textures, camera24, frame_count, jitter,
         # ever goes all-dead and every band pays all `max_depth` bounces;
         # column strips isolate the dead periphery and their bounce loops
         # skip via the existing any(active) lax.cond. Per-pixel RNG and
-        # arithmetic are enumeration-invariant, so radiance is bit-identical
-        # to the row-banded path (one transpose re-assembles the frame).
+        # arithmetic are enumeration-invariant (one transpose re-assembles
+        # the frame); see the docstring for the cross-program FP caveat.
         nbc = _pick_bands(height, width)  # band count dividing WIDTH
         if nbc > 1:
             band_w = width // nbc
@@ -851,8 +854,10 @@ def _trace_lanes(wt: WorldTris, textures, camera24, frame_count, jitter,
 
     Pixel enumeration order is the caller's choice (row-major frame, row
     band, column strip): per-pixel RNG streams and arithmetic depend only
-    on (gx, gy), so any partition of the frame produces bit-identical
-    radiance per pixel. Returns (col (R, 3), rays ())."""
+    on (gx, gy), so any partition of the frame produces the same radiance
+    per pixel (bitwise within one compiled program; see
+    trace_pixels_dense's docstring for the cross-program FP caveat).
+    Returns (col (R, 3), rays ())."""
     cam = camera24  # (24,) block, see scene/camera contract
     R = gx.shape[0]
     origin = splat((cam[0], cam[1], cam[2]), jnp.zeros(R))
