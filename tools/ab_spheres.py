@@ -56,6 +56,11 @@ def main():
             "sbox": lambda: setattr(pd, "KEY_MODE", "sbox"),
             "obox": lambda: setattr(pd, "KEY_MODE", "obox"),
         }
+    elif mode == "dir":
+        variants = {
+            f"dir{v}": (lambda v=v: setattr(pd, "DIR_BITS", v))
+            for v in (1, 2, 3)
+        }
     elif mode == "sub":
         import webgpu_raytracer_tpu.ops.cluster_cull as cc
         variants = {

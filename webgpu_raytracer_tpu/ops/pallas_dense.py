@@ -149,7 +149,7 @@ def _kernel(scalars_ref, featk3_ref, rays8_ref, sph_ref, shadek3_ref,
         s1 = resT[1 * c_tile : 2 * c_tile]
         s2 = resT[2 * c_tile : 3 * c_tile]
         tn = resT[3 * c_tile : 4 * c_tile]
-        td = resT[4 * c_tile : 5 * c_tile]
+        td = s0 + s1 + s2  # Plucker identity: edge crosses sum to n
 
         inside = (jnp.minimum(jnp.minimum(s0, s1), s2) >= 0.0) | (
             jnp.maximum(jnp.maximum(s0, s1), s2) <= 0.0
@@ -237,7 +237,7 @@ def _run(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
     spheres = wt.spheres
     shadek3 = wt.shadek3
     n_tri_tiles = featk3.shape[0]
-    c = featk3.shape[2] // 5
+    c = featk3.shape[2] // 4
 
     n_ray_tiles = rp // M_TILE
     first_row_tile = 0
@@ -272,7 +272,7 @@ def _run(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
         num_scalar_prefetch=1,
         grid=(n_ray_tiles, n_tri_tiles),
         in_specs=[
-            pl.BlockSpec((1, FEAT_K3, 5 * c), lambda i, j, v: (j, 0, 0)),
+            pl.BlockSpec((1, FEAT_K3, 4 * c), lambda i, j, v: (j, 0, 0)),
             pl.BlockSpec((8, M_TILE), lambda i, j, v: (0, i)),
             pl.BlockSpec((1, 1, 128), lambda i, j, v: (j, 0, 0)),
             pl.BlockSpec((1, SHADE_KP, 3 * c), lambda i, j, v: (j, 0, 0)),
@@ -317,31 +317,65 @@ M_TILE2 = 1024  # rays per tile for the two-level path (tighter cull cones)
 # wrappers re-trace with different values (tools/ab_spheres.py).
 KEY_MODE = "obox"
 
+# Direction-bin granularity of the coherence-sort key: 1 = sign octants
+# (8 bins), n = n bits per normalized component (8^n bins). A/B knob read
+# at trace time (tools/ab_spheres.py dir).
+DIR_BITS = 1
 
-def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, rayf_ref, tmax_ref,
+# Measurement-only kernel ablations (tools/debug_spheres.py):
+#   "noproc" — survivor loop runs culls but never DMAs/processes
+#   "nocull" — every reachable survivor is processed (cull forced True)
+_DEBUG2 = ""
+
+
+def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, cull8_ref, tmax_ref,
              sph_ref, featk3_hbm, shadek3_hbm, *refs,
              t_min: float, any_hit: bool, with_row: bool, c_tile: int,
-             with_stats: bool = False):
+             with_stats: bool = False, debug: str = ""):
     # scal: [first_row_tile, count_0, count_1, ...]
     # surv: (1, 1, Ctp) SMEM — sorted surviving cluster ids for this tile
     # dist: (1, 1, Ctp) SMEM — matching sorted min-reach keys (monotone)
+    # cull8: (8*n_sub, 128) — cull operands VREG-TILED: lane l = (s*128 + c)
+    # of the tile sits at sublane s, lane c, so per-cluster cull math runs on
+    # FULL (n_sub, 128) vregs instead of 1/8th-occupied (1, M) rows. Rows
+    # [j*n_sub:(j+1)*n_sub] = component j of [dx, dy, dz, ox, oy, oz, dlen,
+    # wcap, tmax] (wcap = world-unit scene-slab reach cap, 0 for box-miss
+    # lanes — precomputed in the _run2 prefix, was per-tile kernel code).
     refs = list(refs)
     stats_ref = refs.pop(2 + with_row) if with_stats else None
     if with_row:
         out_t_ref, out_i_ref, out_row_ref = refs[:3]
-        feat_buf, shade_buf, semf, sems = refs[3:]
+        feat_buf, shade_buf, semf, sems, open8, maxt_s = refs[3:]
     else:
         out_t_ref, out_i_ref = refs[:2]
-        feat_buf, shade_buf, semf, sems = refs[2:]
+        feat_buf, shade_buf, semf, sems, open8, maxt_s = refs[2:]
     i = pl.program_id(0)
     count = scal_ref[1 + i]
     row_on = scal_ref[0] <= i
+
+    n_sub = cull8_ref.shape[0] // 9
+    dx8 = cull8_ref[0 * n_sub:1 * n_sub, :]
+    dy8 = cull8_ref[1 * n_sub:2 * n_sub, :]
+    dz8 = cull8_ref[2 * n_sub:3 * n_sub, :]
+    ox8 = cull8_ref[3 * n_sub:4 * n_sub, :]
+    oy8 = cull8_ref[4 * n_sub:5 * n_sub, :]
+    oz8 = cull8_ref[5 * n_sub:6 * n_sub, :]
+    dlen8 = cull8_ref[6 * n_sub:7 * n_sub, :]
+    wcap8 = cull8_ref[7 * n_sub:8 * n_sub, :]
+    tmax8 = cull8_ref[8 * n_sub:9 * n_sub, :]
+    dd8 = dx8 * dx8 + dy8 * dy8 + dz8 * dz8
 
     if any_hit:
         out_t_ref[:] = jnp.zeros_like(out_t_ref)
     else:
         out_t_ref[:] = tmax_ref[:]
     out_i_ref[:] = jnp.full_like(out_i_ref, -1.0)
+    # Per-lane OPEN INTERVAL (t-units) + tile max reach (world units,
+    # scalar): cached in scratch and refreshed only when a processed cluster
+    # COMMITS (rare) — the skip-dominated survivor loop reads them for free
+    # instead of recomputing (1, M) reductions every iteration.
+    open8[:] = tmax8
+    maxt_s[0] = jnp.max(jnp.minimum(tmax8 * dlen8, wcap8))
     if with_row:
         # Rows SHADE_K / SHADE_K+1 mirror the t / idx accumulators so the
         # epilogue recovers everything with ONE row-major gather.
@@ -359,42 +393,57 @@ def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, rayf_ref, tmax_ref,
         return pltpu.make_async_copy(shadek3_hbm.at[cidx], shade_buf.at[slot],
                                      sems.at[slot])
 
-    def lane_tmax():
+    def refresh_open():
+        """Recompute the cached open interval + scalar tile reach from the
+        accumulators — called ONLY when a processed cluster commits."""
+        t8 = out_t_ref[:].reshape(n_sub, 128)
         if any_hit:
-            return jnp.where(out_t_ref[:] > 0.0, 0.0, tmax_ref[:])
-        return jnp.minimum(tmax_ref[:], out_t_ref[:])
+            new_open = jnp.where(t8 > 0.0, 0.0, tmax8)
+        else:
+            new_open = jnp.minimum(tmax8, t8)
+        open8[:] = new_open
+        maxt_s[0] = jnp.max(jnp.minimum(new_open * dlen8, wcap8))
 
     def cull(k):
         """Per-lane sphere test for sorted-survivor k; True if any lane's
         open interval can touch the cluster — gates both the DMA and the
-        matmul, so skipped clusters cost only this test."""
+        matmul, so skipped clusters cost only this test (a handful of
+        full-vreg VPU ops on the (n_sub, 128) cull operands)."""
         cidx = surv_ref[0, 0, k]
         sph = sph_ref[pl.ds(cidx, 1), :]  # (1, 128) [cx, cy, cz, r, ...]
         cx, cy, cz, r = sph[0, 0], sph[0, 1], sph[0, 2], sph[0, 3]
-        dx, dy, dz = rayf_ref[0:1, :], rayf_ref[1:2, :], rayf_ref[2:3, :]
-        ocx = rayf_ref[6:7, :] - cx
-        ocy = rayf_ref[7:8, :] - cy
-        ocz = rayf_ref[8:9, :] - cz
-        b = dx * ocx + dy * ocy + dz * ocz
-        dd = dx * dx + dy * dy + dz * dz
+        ocx = ox8 - cx
+        ocy = oy8 - cy
+        ocz = oz8 - cz
+        b = dx8 * ocx + dy8 * ocy + dz8 * ocz
         cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
-        disc = b * b - dd * cc
+        disc = b * b - dd8 * cc
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        lt = lane_tmax()
+        lt = open8[:]
         possible = (disc >= 0.0) & (lt > 0.0) \
-            & (-b + sq >= dd * t_min) & (-b - sq <= dd * lt)
-        return jnp.max(possible.astype(jnp.float32)) > 0.0
+            & (-b + sq >= dd8 * t_min) & (-b - sq <= dd8 * lt)
+        hit = jnp.max(possible.astype(jnp.float32)) > 0.0
+        if debug == "nocull":
+            return hit | True
+        return hit
 
     p0 = (count > 0) & cull(0)
 
     @pl.when(p0)
     def _start():
-        dma_feat(0, 0).start()
-        if with_row:
-            dma_shade(0, 0).start()
+        if debug != "noproc":
+            dma_feat(0, 0).start()
+            if with_row:
+                dma_shade(0, 0).start()
 
     def process(k, slot):
-        """Intersect the (already DMA'd) cluster k against the ray tile."""
+        """Intersect the (already DMA'd) cluster k against the ray tile.
+
+        One full-tile matmul: gating the matmul per 128-lane group was
+        measured ~4x SLOWER per processed cluster (MXU cost is pipeline-
+        fill-dominated at small M — (5C, 32) x (32, 128) costs nearly as
+        much as x (32, 1024)), so the M dimension is effectively free and
+        per-cluster work can only shrink by processing FEWER clusters."""
         dma_feat(k, slot).wait()
         if with_row:
             dma_shade(k, slot).wait()
@@ -408,7 +457,7 @@ def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, rayf_ref, tmax_ref,
             s1 = resT[1 * c_tile: 2 * c_tile]
             s2 = resT[2 * c_tile: 3 * c_tile]
             tn = resT[3 * c_tile: 4 * c_tile]
-            td = resT[4 * c_tile: 5 * c_tile]
+            td = s0 + s1 + s2  # Plucker identity: edge crosses sum to n
             inside = (jnp.minimum(jnp.minimum(s0, s1), s2) >= 0.0) | (
                 jnp.maximum(jnp.maximum(s0, s1), s2) <= 0.0
             )
@@ -422,6 +471,7 @@ def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, rayf_ref, tmax_ref,
                 hit_any = jnp.max(ok.astype(jnp.float32), axis=0,
                                   keepdims=True)
                 out_t_ref[:] = jnp.maximum(out_t_ref[:], hit_any)
+                refresh_open()
                 return
             tm = jnp.where(ok, t, jnp.float32(T_MAX))
             cur_min = jnp.min(tm, axis=0, keepdims=True)
@@ -440,6 +490,7 @@ def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, rayf_ref, tmax_ref,
                 out_t_ref[:] = jnp.where(upd, cur_min, out_t_ref[:])
                 out_i_ref[:] = jnp.where(upd, cur_idx.astype(jnp.float32),
                                          out_i_ref[:])
+                refresh_open()
                 if with_row:
                     out_row_ref[SHADE_K:SHADE_K + 1, :] = out_t_ref[:]
                     out_row_ref[SHADE_K + 1:SHADE_K + 2, :] = out_i_ref[:]
@@ -454,45 +505,16 @@ def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, rayf_ref, tmax_ref,
                             upd, rowT_new[:SHADE_K],
                             out_row_ref[0:SHADE_K, :])
 
-    # Per-lane |d|: t-units -> world units for the reach-key comparison
-    # (primary camera rays are unnormalized, |d| ~ focus_dist).
-    dlen = jnp.sqrt(rayf_ref[0:1, :] ** 2 + rayf_ref[1:2, :] ** 2
-                    + rayf_ref[2:3, :] ** 2)
-
-    # Scene-AABB reach cap (loop-invariant): a lane that exits the scene
-    # bounding BOX (last sph_ref row = [lo.xyz, hi.xyz], appended by _run2)
-    # can't hit anything past that exit — without this, miss lanes carry
-    # t_max = 1e30 and defeat the sorted early termination for their whole
-    # tile. The box (not a bounding sphere): with a giant ground object the
-    # sphere is so fat that sky-going bounce rays never exit it and the
-    # early termination never fired (kernel-measured on `spheres`).
-    srow = sph_ref[sph_ref.shape[0] - 1, :]
-    t_exit = None
-    t_enter = None
-    for ax in range(3):
-        d_r = rayf_ref[ax:ax + 1, :]
-        o_r = rayf_ref[6 + ax:7 + ax, :]
-        d_safe = jnp.where(jnp.abs(d_r) > 1e-20, d_r,
-                           jnp.where(d_r >= 0.0, 1e-20, -1e-20))
-        t1 = (srow[ax] - o_r) / d_safe
-        t2 = (srow[3 + ax] - o_r) / d_safe
-        hi_ = jnp.maximum(t1, t2)
-        lo_ = jnp.minimum(t1, t2)
-        t_exit = hi_ if t_exit is None else jnp.minimum(t_exit, hi_)
-        t_enter = lo_ if t_enter is None else jnp.maximum(t_enter, lo_)
-    hit_box = (t_enter <= t_exit) & (t_exit > 0.0)
-    reach_cap = jnp.where(hit_box, t_exit, 0.0) * dlen
-
     # Software-pipelined survivor loop: while processing cluster k, decide
     # (cull + DMA-start) cluster k+1, and terminate the whole loop once the
     # next sorted min-reach key (world units) exceeds every lane's open
-    # interval.
+    # interval (maxt_s — cached scalar, refreshed on commit).
     def cond(carry):
         return jnp.logical_not(carry[2])
 
     def body(carry):
         k, started_k, _, nproc = carry
-        maxt = jnp.max(jnp.minimum(lane_tmax() * dlen, reach_cap))
+        maxt = maxt_s[0]
         in_range = k + 1 < count
         k1 = jnp.minimum(k + 1, surv_ref.shape[2] - 1)  # clamp for the read
         reach = dist_ref[0, 0, k1] <= maxt
@@ -500,13 +522,15 @@ def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, rayf_ref, tmax_ref,
 
         @pl.when(nxt)
         def _next():
-            dma_feat(k + 1, jax.lax.rem(k + 1, 2)).start()
-            if with_row:
-                dma_shade(k + 1, jax.lax.rem(k + 1, 2)).start()
+            if debug != "noproc":
+                dma_feat(k + 1, jax.lax.rem(k + 1, 2)).start()
+                if with_row:
+                    dma_shade(k + 1, jax.lax.rem(k + 1, 2)).start()
 
         @pl.when(started_k)
         def _proc():
-            process(k, jax.lax.rem(k, 2))
+            if debug != "noproc":
+                process(k, jax.lax.rem(k, 2))
 
         # Sorted keys: once k+1 is unreachable, so is everything after it.
         stop = jnp.logical_not(in_range & reach)
@@ -555,7 +579,7 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
     shadek3 = wt.shadek3                  # (Ct, SHADE_K, 3C) bf16 — HBM
     sph_flat = wt.spheres[:, 0, :]        # (Ct, 128) f32
     n_clusters = featk3.shape[0]
-    c = featk3.shape[2] // 5
+    c = featk3.shape[2] // 4
 
     first_row_tile = 0
     if with_row and row_from_lane and row_from_lane % M_TILE2 == 0:
@@ -599,12 +623,25 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
         q = jnp.clip(((o_c - o_lo) / o_ext * 8.0)
                      .astype(jnp.int32), 0, 7)
         key = key * 8 + q
-        octant = octant * 2 + (d_c < 0.0).astype(jnp.int32)
+        if DIR_BITS == 1:
+            octant = octant * 2 + (d_c < 0.0).astype(jnp.int32)
+        else:
+            # Finer direction bins: quantize the NORMALIZED component to
+            # 2^DIR_BITS levels — subtile cones shrink from 90-degree
+            # octants toward ~90/2^(DIR_BITS-1) degrees, cutting bounce-tile
+            # worklists (A/B: tools/ab_spheres.py dir).
+            dl_all = jnp.sqrt(rdx * rdx + rdy * rdy + rdz * rdz)
+            dn = d_c / jnp.maximum(dl_all, 1e-20)
+            lv = 1 << DIR_BITS
+            qd = jnp.clip(((dn + 1.0) * (0.5 * lv)).astype(jnp.int32),
+                          0, lv - 1)
+            octant = octant * lv + qd
+    dir_span = 1 << (3 * DIR_BITS)
     key = octant * 512 + key
-    key = jnp.where(t_max > 0.0, key, jnp.int32(1 << 13))
+    key = jnp.where(t_max > 0.0, key, jnp.int32(512 * dir_span))
     seg_start = first_row_tile * M_TILE2
     seg = (jnp.arange(rp, dtype=jnp.int32) >= seg_start).astype(jnp.int32)
-    perm = jnp.argsort(key + seg * (1 << 14))
+    perm = jnp.argsort(key + seg * jnp.int32(1024 * dir_span))
     # Inverse permutation by scatter (one pass) instead of a second argsort.
     inv_perm = jnp.zeros((rp,), jnp.int32).at[perm].set(
         jnp.arange(rp, dtype=jnp.int32), unique_indices=True)
@@ -622,12 +659,35 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
 
     order, keys, counts = tile_cluster_worklist(rayfT, t_max, sph_flat,
                                                 M_TILE2)
-    # Append the scene AABB as the last row [lo.xyz, hi.xyz] (the kernel's
-    # per-lane slab-exit reach cap reads it at static index Ct).
-    scene_row = jnp.zeros((1, 128), jnp.float32)
-    scene_row = scene_row.at[0, 0:3].set(smin)
-    scene_row = scene_row.at[0, 3:6].set(smin + sext)
-    sph_aug = jnp.concatenate([sph_flat, scene_row], axis=0)
+    # Cull operands, VREG-TILED (see _kernel2 docstring): per tile a
+    # (9 * n_sub, 128) block of [dx, dy, dz, ox, oy, oz, dlen, wcap, tmax]
+    # where wcap is the world-unit scene-slab reach cap — a lane that exits
+    # the scene bounding BOX can't hit anything past that exit; without it,
+    # miss lanes carry t_max = 1e30 and defeat the sorted early termination
+    # for their whole tile. (Box, not bounding sphere: a giant ground object
+    # makes the sphere so fat sky-going rays never exit it — measured on
+    # `spheres`.)
+    n_sub = M_TILE2 // 128
+    dlen = jnp.sqrt(rdx * rdx + rdy * rdy + rdz * rdz)
+    s_hi = smin + sext
+    t_exit = None
+    t_enter = None
+    for ax, (o_c, d_c) in enumerate(((rox, rdx), (roy, rdy), (roz, rdz))):
+        d_safe = jnp.where(jnp.abs(d_c) > 1e-20, d_c,
+                           jnp.where(d_c >= 0.0, 1e-20, -1e-20))
+        t1 = (smin[ax] - o_c) / d_safe
+        t2 = (s_hi[ax] - o_c) / d_safe
+        hi_ = jnp.maximum(t1, t2)
+        lo_ = jnp.minimum(t1, t2)
+        t_exit = hi_ if t_exit is None else jnp.minimum(t_exit, hi_)
+        t_enter = lo_ if t_enter is None else jnp.maximum(t_enter, lo_)
+    hit_box = (t_enter <= t_exit) & (t_exit > 0.0)
+    wcap = jnp.where(hit_box, t_exit, 0.0) * dlen
+    n_ray_tiles = rp // M_TILE2
+    cull8 = jnp.stack([rdx, rdy, rdz, rox, roy, roz, dlen, wcap, t_max],
+                      axis=0)                              # (9, rp)
+    cull8 = cull8.reshape(9, n_ray_tiles, n_sub, 128) \
+        .transpose(1, 0, 2, 3).reshape(n_ray_tiles * 9 * n_sub, 128)
     ct_pad = (-n_clusters) % 128
     if ct_pad:
         order = jnp.pad(order, ((0, 0), (0, ct_pad)))
@@ -636,7 +696,6 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
     order = order[:, None, :]  # (T, 1, Ctp) — Mosaic block-shape friendly
     keys = keys[:, None, :]
 
-    n_ray_tiles = rp // M_TILE2
     scal = jnp.concatenate([
         jnp.asarray([first_row_tile], jnp.int32), counts])
 
@@ -668,33 +727,35 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
             pl.BlockSpec((1, 1, order.shape[2]), lambda i, v: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((FEAT_K3, M_TILE2), lambda i, v: (0, i)),
-            pl.BlockSpec((FEAT_K, M_TILE2), lambda i, v: (0, i)),
+            pl.BlockSpec((9 * n_sub, 128), lambda i, v: (i, 0)),
             pl.BlockSpec((1, M_TILE2), lambda i, v: (0, i)),
-            # cluster-sphere table + scene-sphere row, resident in VMEM
-            pl.BlockSpec((n_clusters + 1, 128), lambda i, v: (0, 0)),
+            # cluster-sphere table, resident in VMEM
+            pl.BlockSpec((n_clusters, 128), lambda i, v: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),   # featk3 (HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),   # shadek3 (HBM)
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2, FEAT_K3, 5 * c), jnp.bfloat16),
+            pltpu.VMEM((2, FEAT_K3, 4 * c), jnp.bfloat16),
             pltpu.VMEM((2, SHADE_KP, 3 * c), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((n_sub, 128), jnp.float32),   # open8
+            pltpu.SMEM((1,), jnp.float32),           # maxt_s
         ],
     )
 
     outs = pl.pallas_call(
         functools.partial(_kernel2, t_min=t_min, any_hit=any_hit,
                           with_row=with_row, c_tile=c,
-                          with_stats=with_stats),
+                          with_stats=with_stats, debug=_DEBUG2),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(scal, order, keys, rayk3, rayfT, t_max[None, :], sph_aug, featk3,
+    )(scal, order, keys, rayk3, cull8, t_max[None, :], sph_flat, featk3,
       shadek3)
 
     # Un-permute: with_row recovers rows + t + idx with ONE (R, SHADE_KP)
