@@ -61,6 +61,11 @@ def main():
             f"dir{v}": (lambda v=v: setattr(pd, "DIR_BITS", v))
             for v in (1, 2, 3)
         }
+    elif mode == "cell":
+        variants = {
+            f"cell{v}": (lambda v=v: setattr(pd, "CELL_BITS", v))
+            for v in (2, 3, 4, 5)
+        }
     elif mode == "sub":
         import webgpu_raytracer_tpu.ops.cluster_cull as cc
         variants = {

@@ -322,6 +322,11 @@ KEY_MODE = "obox"
 # at trace time (tools/ab_spheres.py dir).
 DIR_BITS = 1
 
+# Origin-cell bits per axis of the coherence-sort key (A/B knob).
+# Measured on TPU v5e (tools/ab_spheres.py cell, spheres 512^2 d8):
+# 2..5 bits span only ~3% (803/811/820/795 ms); 5 is marginally best.
+CELL_BITS = 5
+
 # Measurement-only kernel ablations (tools/debug_spheres.py):
 #   "noproc" — survivor loop runs culls but never DMAs/processes
 #   "nocull" — every reachable survivor is processed (cull forced True)
@@ -620,9 +625,10 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
                 - o_lo, 1e-20)
         else:
             o_lo, o_ext = smin[a], sext[a]
-        q = jnp.clip(((o_c - o_lo) / o_ext * 8.0)
-                     .astype(jnp.int32), 0, 7)
-        key = key * 8 + q
+        cl = 1 << CELL_BITS
+        q = jnp.clip(((o_c - o_lo) / o_ext * cl)
+                     .astype(jnp.int32), 0, cl - 1)
+        key = key * cl + q
         if DIR_BITS == 1:
             octant = octant * 2 + (d_c < 0.0).astype(jnp.int32)
         else:
@@ -637,11 +643,12 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
                           0, lv - 1)
             octant = octant * lv + qd
     dir_span = 1 << (3 * DIR_BITS)
-    key = octant * 512 + key
-    key = jnp.where(t_max > 0.0, key, jnp.int32(512 * dir_span))
+    cell_span = 1 << (3 * CELL_BITS)
+    key = octant * cell_span + key
+    key = jnp.where(t_max > 0.0, key, jnp.int32(cell_span * dir_span))
     seg_start = first_row_tile * M_TILE2
     seg = (jnp.arange(rp, dtype=jnp.int32) >= seg_start).astype(jnp.int32)
-    perm = jnp.argsort(key + seg * jnp.int32(1024 * dir_span))
+    perm = jnp.argsort(key + seg * jnp.int32(2 * cell_span * dir_span))
     # Inverse permutation by scatter (one pass) instead of a second argsort.
     inv_perm = jnp.zeros((rp,), jnp.int32).at[perm].set(
         jnp.arange(rp, dtype=jnp.int32), unique_indices=True)
