@@ -332,11 +332,19 @@ CELL_BITS = 5
 #   "nocull" — every reachable survivor is processed (cull forced True)
 _DEBUG2 = ""
 
+# Survivor-DMA prefetch depth: the scan (cull + DMA-start) runs up to this
+# many clusters ahead of processing. At depth 1 the HBM copy of a surviving
+# cluster started only one cull (~0.14 us) before its matmul needed it, so
+# ~1.6 us of DMA latency was exposed on nearly every processed cluster
+# (measured: 2.7 us/processed normally vs ~1.5 us when every reachable
+# cluster streams back-to-back — tools/debug_spheres.py).
+PREFETCH_DEPTH = 4
+
 
 def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, cull8_ref, tmax_ref,
              sph_ref, featk3_hbm, shadek3_hbm, *refs,
              t_min: float, any_hit: bool, with_row: bool, c_tile: int,
-             with_stats: bool = False, debug: str = ""):
+             with_stats: bool = False, debug: str = "", depth: int = 1):
     # scal: [first_row_tile, count_0, count_1, ...]
     # surv: (1, 1, Ctp) SMEM — sorted surviving cluster ids for this tile
     # dist: (1, 1, Ctp) SMEM — matching sorted min-reach keys (monotone)
@@ -350,10 +358,10 @@ def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, cull8_ref, tmax_ref,
     stats_ref = refs.pop(2 + with_row) if with_stats else None
     if with_row:
         out_t_ref, out_i_ref, out_row_ref = refs[:3]
-        feat_buf, shade_buf, semf, sems, open8, maxt_s = refs[3:]
+        feat_buf, shade_buf, semf, sems, open8, maxt_s, qk_s = refs[3:]
     else:
         out_t_ref, out_i_ref = refs[:2]
-        feat_buf, shade_buf, semf, sems, open8, maxt_s = refs[2:]
+        feat_buf, shade_buf, semf, sems, open8, maxt_s, qk_s = refs[2:]
     i = pl.program_id(0)
     count = scal_ref[1 + i]
     row_on = scal_ref[0] <= i
@@ -432,14 +440,6 @@ def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, cull8_ref, tmax_ref,
             return hit | True
         return hit
 
-    p0 = (count > 0) & cull(0)
-
-    @pl.when(p0)
-    def _start():
-        if debug != "noproc":
-            dma_feat(0, 0).start()
-            if with_row:
-                dma_shade(0, 0).start()
 
     def process(k, slot):
         """Intersect the (already DMA'd) cluster k against the ray tile.
@@ -510,40 +510,61 @@ def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, cull8_ref, tmax_ref,
                             upd, rowT_new[:SHADE_K],
                             out_row_ref[0:SHADE_K, :])
 
-    # Software-pipelined survivor loop: while processing cluster k, decide
-    # (cull + DMA-start) cluster k+1, and terminate the whole loop once the
-    # next sorted min-reach key (world units) exceeds every lane's open
-    # interval (maxt_s — cached scalar, refreshed on commit).
+    # Prefetch-queue survivor loop: the SCAN (cull + DMA-start) runs up to
+    # `depth` surviving clusters ahead of PROCESSING, so a survivor's HBM
+    # copy hides behind ~depth cluster processings instead of a single cull.
+    # Each iteration either scans one worklist entry or processes the oldest
+    # queued cluster (queue full, or scan finished). Scanning culls against
+    # the open interval as of scan time — conservative: a stale (wider)
+    # interval only admits extra clusters whose hits are >= the running
+    # best, and commits use strict <, so outputs are bit-identical to the
+    # depth-1 loop. The scan terminates once the next sorted min-reach key
+    # (world units) exceeds every lane's open interval (maxt_s — cached
+    # scalar, refreshed on commit); keys are sorted, so everything after an
+    # unreachable entry is unreachable too.
     def cond(carry):
-        return jnp.logical_not(carry[2])
+        s, nfound, nproc, scan_done = carry
+        return jnp.logical_not(scan_done & (nproc == nfound))
 
     def body(carry):
-        k, started_k, _, nproc = carry
-        maxt = maxt_s[0]
-        in_range = k + 1 < count
-        k1 = jnp.minimum(k + 1, surv_ref.shape[2] - 1)  # clamp for the read
-        reach = dist_ref[0, 0, k1] <= maxt
-        nxt = in_range & reach & cull(k1)
+        s, nfound, nproc, scan_done = carry
+        # Scan one worklist entry when the queue has a free slot (dense
+        # survivor runs then do one scan + one process per iteration, as the
+        # depth-1 loop did; sparse runs scan several entries per process).
+        do_scan = jnp.logical_not(scan_done) & (nfound - nproc < depth)
+        s_c = jnp.minimum(s, surv_ref.shape[2] - 1)  # clamp for the read
+        live = (s < count) & (dist_ref[0, 0, s_c] <= maxt_s[0])
+        ok = do_scan & live & cull(s_c)
 
-        @pl.when(nxt)
-        def _next():
+        @pl.when(ok)
+        def _enqueue():
+            slot = jax.lax.rem(nfound, depth)
+            qk_s[slot] = s_c
             if debug != "noproc":
-                dma_feat(k + 1, jax.lax.rem(k + 1, 2)).start()
+                dma_feat(s_c, slot).start()
                 if with_row:
-                    dma_shade(k + 1, jax.lax.rem(k + 1, 2)).start()
+                    dma_shade(s_c, slot).start()
 
-        @pl.when(started_k)
+        nfound2 = nfound + ok.astype(jnp.int32)
+        scan_done2 = scan_done | (do_scan & jnp.logical_not(live))
+        # Process the oldest queued cluster once the queue is full (its DMA
+        # then has ~depth processings of lead) or the scan is finished.
+        do_process = (nfound2 - nproc >= depth) | (
+            scan_done2 & (nfound2 > nproc))
+
+        @pl.when(do_process)
         def _proc():
             if debug != "noproc":
-                process(k, jax.lax.rem(k, 2))
+                slot = jax.lax.rem(nproc, depth)
+                process(qk_s[slot], slot)
 
-        # Sorted keys: once k+1 is unreachable, so is everything after it.
-        stop = jnp.logical_not(in_range & reach)
-        return (k + 1, nxt, stop, nproc + started_k.astype(jnp.int32))
+        return (jnp.where(do_scan, s + 1, s), nfound2,
+                nproc + do_process.astype(jnp.int32), scan_done2)
 
-    k_end, _, _, nproc = jax.lax.while_loop(
+    k_end, _, nproc, _ = jax.lax.while_loop(
         cond, body,
-        (jnp.int32(0), p0, jnp.logical_not(count > 0), jnp.int32(0)))
+        (jnp.int32(0), jnp.int32(0), jnp.int32(0),
+         jnp.logical_not(count > 0)))
     if with_stats:
         # [iterations, processed, worklist count, 0...] per ray tile
         # (vector select — Mosaic cannot store scalars to VMEM).
@@ -743,19 +764,21 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2, FEAT_K3, 4 * c), jnp.bfloat16),
-            pltpu.VMEM((2, SHADE_KP, 3 * c), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((PREFETCH_DEPTH, FEAT_K3, 4 * c), jnp.bfloat16),
+            pltpu.VMEM((PREFETCH_DEPTH, SHADE_KP, 3 * c), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((PREFETCH_DEPTH,)),
+            pltpu.SemaphoreType.DMA((PREFETCH_DEPTH,)),
             pltpu.VMEM((n_sub, 128), jnp.float32),   # open8
             pltpu.SMEM((1,), jnp.float32),           # maxt_s
+            pltpu.SMEM((PREFETCH_DEPTH,), jnp.int32),  # queued worklist idx
         ],
     )
 
     outs = pl.pallas_call(
         functools.partial(_kernel2, t_min=t_min, any_hit=any_hit,
                           with_row=with_row, c_tile=c,
-                          with_stats=with_stats, debug=_DEBUG2),
+                          with_stats=with_stats, debug=_DEBUG2,
+                          depth=PREFETCH_DEPTH),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
