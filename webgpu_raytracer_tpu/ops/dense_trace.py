@@ -339,8 +339,11 @@ def _offset_eps(p: V3):
 # Tail-compaction schedule: ((depth, div), ...) — from bounce `depth`
 # onward, live lanes run in a static ceil(R/div) buffer (with a same-width
 # fallback when the live count overflows). Depths ascend; budgets are
-# relative to the ORIGINAL R.
-TAIL_STAGES = ((5, 8),)
+# relative to the ORIGINAL R. Swept on TPU v5e (tools/ab_band_1080p.py
+# tail, cornell 1080p d8): off 167 / d5-div8 183 / d5-div16 198 Mrays/s —
+# post-RR liveness (~2.5%) fits div16 with headroom, and the halved tail
+# buffers nearly halve the late-bounce fusion cost.
+TAIL_STAGES = ((5, 16),)
 TAIL_ALIGN = 2048    # round budgets up to kernel-tile-friendly multiples
 TAIL_MIN_R = 100000  # no compaction below this lane count: 1080p column
                      # strips (138k lanes) and 512^2 frames (262k) compact;
