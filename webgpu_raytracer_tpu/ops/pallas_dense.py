@@ -340,11 +340,20 @@ _DEBUG2 = ""
 # cluster streams back-to-back — tools/debug_spheres.py).
 PREFETCH_DEPTH = 4
 
+# Survivors processed per matmul. The sweep matmul is pipeline-fill
+# dominated at K=32 (a (4C, 32) x (32, M) dot costs nearly the same for
+# one cluster as for two stacked along the output rows), and the commit
+# (winner reduce + accumulator writes + interval refresh) amortizes across
+# the batch, so pairing survivors cuts the per-cluster process cost.
+# Must divide PREFETCH_DEPTH.
+PROC_BATCH = 2
+
 
 def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, cull8_ref, tmax_ref,
              sph_ref, featk3_hbm, shadek3_hbm, *refs,
              t_min: float, any_hit: bool, with_row: bool, c_tile: int,
-             with_stats: bool = False, debug: str = "", depth: int = 1):
+             with_stats: bool = False, debug: str = "", depth: int = 1,
+             batch: int = 1):
     # scal: [first_row_tile, count_0, count_1, ...]
     # surv: (1, 1, Ctp) SMEM — sorted surviving cluster ids for this tile
     # dist: (1, 1, Ctp) SMEM — matching sorted min-reach keys (monotone)
@@ -396,15 +405,26 @@ def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, cull8_ref, tmax_ref,
         out_row_ref[SHADE_K:SHADE_K + 1, :] = out_t_ref[:]
         out_row_ref[SHADE_K + 1:SHADE_K + 2, :] = out_i_ref[:]
 
-    def dma_feat(k, slot):
+    # Queue position p (0..depth-1) lands in batch buffer p // batch at
+    # column slice p % batch, so a full batch sits contiguous for ONE
+    # stacked matmul over (FEAT_K3, batch * 4c).
+    def dma_feat(k, pos):
         cidx = surv_ref[0, 0, k]
-        return pltpu.make_async_copy(featk3_hbm.at[cidx], feat_buf.at[slot],
-                                     semf.at[slot])
+        return pltpu.make_async_copy(
+            featk3_hbm.at[cidx],
+            feat_buf.at[pos // batch, :,
+                        pl.ds(jax.lax.rem(pos, batch) * 4 * c_tile,
+                              4 * c_tile)],
+            semf.at[pos])
 
-    def dma_shade(k, slot):
+    def dma_shade(k, pos):
         cidx = surv_ref[0, 0, k]
-        return pltpu.make_async_copy(shadek3_hbm.at[cidx], shade_buf.at[slot],
-                                     sems.at[slot])
+        return pltpu.make_async_copy(
+            shadek3_hbm.at[cidx],
+            shade_buf.at[pos // batch, :,
+                         pl.ds(jax.lax.rem(pos, batch) * 3 * c_tile,
+                               3 * c_tile)],
+            sems.at[pos])
 
     def refresh_open():
         """Recompute the cached open interval + scalar tile reach from the
@@ -441,74 +461,140 @@ def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, cull8_ref, tmax_ref,
         return hit
 
 
-    def process(k, slot):
-        """Intersect the (already DMA'd) cluster k against the ray tile.
+    def process_batch(nproc, nv):
+        """Intersect the `nv` (<= batch) oldest queued clusters against the
+        ray tile with ONE stacked matmul.
 
-        One full-tile matmul: gating the matmul per 128-lane group was
-        measured ~4x SLOWER per processed cluster (MXU cost is pipeline-
-        fill-dominated at small M — (5C, 32) x (32, 128) costs nearly as
-        much as x (32, 1024)), so the M dimension is effectively free and
-        per-cluster work can only shrink by processing FEWER clusters."""
-        dma_feat(k, slot).wait()
+        One full-tile matmul per batch: gating the matmul per 128-lane
+        group was measured ~4x SLOWER per processed cluster (MXU cost is
+        pipeline-fill-dominated at K=32 — (4C, 32) x (32, 128) costs nearly
+        as much as x (32, 1024)), so both M and the stacked output rows are
+        nearly free and the commit amortizes across the batch. nproc is
+        always batch-aligned when nv == batch (mid-scan processing only
+        fires on full batches; partial batches only drain the final tail),
+        so a batch always sits inside one buffer. The unused tail slice is
+        ZEROED — zero features give td == 0 which self-culls — and its
+        one-hot is gated, so a short batch is exact."""
+        pos0 = jax.lax.rem(nproc, depth)
+        buf = pos0 // batch
+        dma_feat(qk_s[pos0], pos0).wait()
         if with_row:
-            dma_shade(k, slot).wait()
-        cidx = surv_ref[0, 0, k]
-        if True:
-            resT = jax.lax.dot_general(
-                feat_buf[slot], rayk3_ref[:],
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            s0 = resT[0 * c_tile: 1 * c_tile]
-            s1 = resT[1 * c_tile: 2 * c_tile]
-            s2 = resT[2 * c_tile: 3 * c_tile]
-            tn = resT[3 * c_tile: 4 * c_tile]
+            dma_shade(qk_s[pos0], pos0).wait()
+        for b in range(1, batch):
+            @pl.when(nv > b)
+            def _wait_b(b=b):
+                dma_feat(qk_s[pos0 + b], pos0 + b).wait()
+                if with_row:
+                    dma_shade(qk_s[pos0 + b], pos0 + b).wait()
+
+        @pl.when(nv < batch)
+        def _zero_tail():
+            # Static slice: only the nv==batch-1 tail shape is ever short
+            # with batch == 2; for larger batches this over-zeroes ahead of
+            # positions that were never DMA'd, which is equally correct.
+            # Zero features give td == 0, which self-culls. The shade half
+            # must be zeroed as well: the one-hot matmul contracts over the
+            # WHOLE batch-wide buffer, and 0 x garbage (stale or
+            # uninitialized columns) is not 0 once the garbage is NaN.
+            feat_buf[buf, :, pl.ds(4 * c_tile, (batch - 1) * 4 * c_tile)] = (
+                jnp.zeros((feat_buf.shape[1], (batch - 1) * 4 * c_tile),
+                          feat_buf.dtype))
+            if with_row:
+                shade_buf[buf, :,
+                          pl.ds(3 * c_tile, (batch - 1) * 3 * c_tile)] = (
+                    jnp.zeros((shade_buf.shape[1],
+                               (batch - 1) * 3 * c_tile), shade_buf.dtype))
+
+        resT = jax.lax.dot_general(
+            feat_buf[buf], rayk3_ref[:],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        if any_hit:
+            hit_any = None
+            for b in range(batch):
+                base = 4 * b * c_tile
+                s0 = resT[base + 0 * c_tile: base + 1 * c_tile]
+                s1 = resT[base + 1 * c_tile: base + 2 * c_tile]
+                s2 = resT[base + 2 * c_tile: base + 3 * c_tile]
+                tn = resT[base + 3 * c_tile: base + 4 * c_tile]
+                td = s0 + s1 + s2
+                inside = (jnp.minimum(jnp.minimum(s0, s1), s2) >= 0.0) | (
+                    jnp.maximum(jnp.maximum(s0, s1), s2) <= 0.0)
+                ok = inside & (jnp.abs(td) >= 1e-6)
+                t = tn / jnp.where(ok, td, 1.0)
+                ok = ok & (t > t_min) & (t < tmax_ref[:])
+                h = jnp.max(ok.astype(jnp.float32), axis=0, keepdims=True)
+                hit_any = h if hit_any is None else jnp.maximum(hit_any, h)
+            out_t_ref[:] = jnp.maximum(out_t_ref[:], hit_any)
+            refresh_open()
+            return
+
+        # Per-cluster epilogues, combined with the EARLIER batch half
+        # winning ties — exactly the sequential strict-< commit order.
+        cur_min = None
+        cur_idx = None
+        cols = []
+        for b in range(batch):
+            base = 4 * b * c_tile
+            s0 = resT[base + 0 * c_tile: base + 1 * c_tile]
+            s1 = resT[base + 1 * c_tile: base + 2 * c_tile]
+            s2 = resT[base + 2 * c_tile: base + 3 * c_tile]
+            tn = resT[base + 3 * c_tile: base + 4 * c_tile]
             td = s0 + s1 + s2  # Plucker identity: edge crosses sum to n
             inside = (jnp.minimum(jnp.minimum(s0, s1), s2) >= 0.0) | (
-                jnp.maximum(jnp.maximum(s0, s1), s2) <= 0.0
-            )
+                jnp.maximum(jnp.maximum(s0, s1), s2) <= 0.0)
             ok = inside & (jnp.abs(td) >= 1e-6)
             t = tn / jnp.where(ok, td, 1.0)
-            col = cidx * c_tile + jax.lax.broadcasted_iota(
-                jnp.int32, t.shape, 0)
             ok = ok & (t > t_min) & (t < tmax_ref[:])
-
-            if any_hit:
-                hit_any = jnp.max(ok.astype(jnp.float32), axis=0,
-                                  keepdims=True)
-                out_t_ref[:] = jnp.maximum(out_t_ref[:], hit_any)
-                refresh_open()
-                return
             tm = jnp.where(ok, t, jnp.float32(T_MAX))
-            cur_min = jnp.min(tm, axis=0, keepdims=True)
-            upd = cur_min < out_t_ref[:]
-            any_upd = jnp.max(upd.astype(jnp.float32)) > 0.0
+            cidx_b = surv_ref[0, 0, qk_s[jnp.minimum(pos0 + b, depth - 1)]]
+            col = cidx_b * c_tile + jax.lax.broadcasted_iota(
+                jnp.int32, tm.shape, 0)
+            bmin = jnp.min(tm, axis=0, keepdims=True)
+            bidx = jnp.min(jnp.where(tm <= bmin, col, jnp.int32(2 ** 30)),
+                           axis=0, keepdims=True)
+            cols.append(col)
+            if cur_min is None:
+                cur_min, cur_idx = bmin, bidx
+            else:
+                take = bmin < cur_min
+                cur_idx = jnp.where(take, bidx, cur_idx)
+                cur_min = jnp.where(take, bmin, cur_min)
+        upd = cur_min < out_t_ref[:]
+        any_upd = jnp.max(upd.astype(jnp.float32)) > 0.0
 
-            # Most processed clusters beat no lane's running best (the
-            # near-to-far order means early clusters usually win): gate the
-            # winner-index reduction, accumulator writes, and especially the
-            # row-fetch matmul on "any lane improved".
-            @pl.when(any_upd)
-            def _commit():
-                cur_idx = jnp.min(
-                    jnp.where(tm <= cur_min, col, jnp.int32(2 ** 30)), axis=0,
-                    keepdims=True)
-                out_t_ref[:] = jnp.where(upd, cur_min, out_t_ref[:])
-                out_i_ref[:] = jnp.where(upd, cur_idx.astype(jnp.float32),
-                                         out_i_ref[:])
-                refresh_open()
-                if with_row:
-                    out_row_ref[SHADE_K:SHADE_K + 1, :] = out_t_ref[:]
-                    out_row_ref[SHADE_K + 1:SHADE_K + 2, :] = out_i_ref[:]
+        # Most processed clusters beat no lane's running best (the
+        # near-to-far order means early clusters usually win): gate the
+        # accumulator writes, interval refresh, and especially the
+        # row-fetch matmul on "any lane improved".
+        @pl.when(any_upd)
+        def _commit():
+            out_t_ref[:] = jnp.where(upd, cur_min, out_t_ref[:])
+            out_i_ref[:] = jnp.where(upd, cur_idx.astype(jnp.float32),
+                                     out_i_ref[:])
+            refresh_open()
+            if with_row:
+                out_row_ref[SHADE_K:SHADE_K + 1, :] = out_t_ref[:]
+                out_row_ref[SHADE_K + 1:SHADE_K + 2, :] = out_i_ref[:]
 
-                    @pl.when(row_on)
-                    def _fetch_row():
-                        oh = ((col == cur_idx) & upd).astype(jnp.bfloat16)
-                        oh3 = jnp.concatenate([oh, oh, oh], axis=0)
-                        rowT_new = jnp.dot(shade_buf[slot], oh3,
-                                           preferred_element_type=jnp.float32)
-                        out_row_ref[0:SHADE_K, :] = jnp.where(
-                            upd, rowT_new[:SHADE_K],
-                            out_row_ref[0:SHADE_K, :])
+                @pl.when(row_on)
+                def _fetch_row():
+                    # One-hot per batch half against ITS column ids; halves
+                    # past nv are gated off (their buffer slice holds stale
+                    # rows from an earlier batch whose ids could collide
+                    # with the winner).
+                    parts = []
+                    for b in range(batch):
+                        oh_b = (cols[b] == cur_idx) & upd & (nv > b)
+                        oh_b = oh_b.astype(jnp.bfloat16)
+                        parts.extend([oh_b, oh_b, oh_b])
+                    oh3 = jnp.concatenate(parts, axis=0)
+                    rowT_new = jnp.dot(shade_buf[buf], oh3,
+                                       preferred_element_type=jnp.float32)
+                    out_row_ref[0:SHADE_K, :] = jnp.where(
+                        upd, rowT_new[:SHADE_K],
+                        out_row_ref[0:SHADE_K, :])
 
     # Prefetch-queue survivor loop: the SCAN (cull + DMA-start) runs up to
     # `depth` surviving clusters ahead of PROCESSING, so a survivor's HBM
@@ -547,19 +633,20 @@ def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, cull8_ref, tmax_ref,
 
         nfound2 = nfound + ok.astype(jnp.int32)
         scan_done2 = scan_done | (do_scan & jnp.logical_not(live))
-        # Process the oldest queued cluster once the queue is full (its DMA
-        # then has ~depth processings of lead) or the scan is finished.
+        # Process the oldest queued BATCH once the queue is full (its DMAs
+        # then have ~depth-batch processings of lead) or the scan is
+        # finished (draining in batches, with one short tail at most).
         do_process = (nfound2 - nproc >= depth) | (
             scan_done2 & (nfound2 > nproc))
+        nv = jnp.minimum(nfound2 - nproc, batch)
 
         @pl.when(do_process)
         def _proc():
             if debug != "noproc":
-                slot = jax.lax.rem(nproc, depth)
-                process(qk_s[slot], slot)
+                process_batch(nproc, nv)
 
         return (jnp.where(do_scan, s + 1, s), nfound2,
-                nproc + do_process.astype(jnp.int32), scan_done2)
+                nproc + jnp.where(do_process, nv, 0), scan_done2)
 
     k_end, _, nproc, _ = jax.lax.while_loop(
         cond, body,
@@ -764,8 +851,10 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((PREFETCH_DEPTH, FEAT_K3, 4 * c), jnp.bfloat16),
-            pltpu.VMEM((PREFETCH_DEPTH, SHADE_KP, 3 * c), jnp.bfloat16),
+            pltpu.VMEM((PREFETCH_DEPTH // PROC_BATCH, FEAT_K3,
+                        PROC_BATCH * 4 * c), jnp.bfloat16),
+            pltpu.VMEM((PREFETCH_DEPTH // PROC_BATCH, SHADE_KP,
+                        PROC_BATCH * 3 * c), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((PREFETCH_DEPTH,)),
             pltpu.SemaphoreType.DMA((PREFETCH_DEPTH,)),
             pltpu.VMEM((n_sub, 128), jnp.float32),   # open8
@@ -778,7 +867,7 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
         functools.partial(_kernel2, t_min=t_min, any_hit=any_hit,
                           with_row=with_row, c_tile=c,
                           with_stats=with_stats, debug=_DEBUG2,
-                          depth=PREFETCH_DEPTH),
+                          depth=PREFETCH_DEPTH, batch=PROC_BATCH),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
