@@ -273,8 +273,17 @@ def main(argv):
             np.asarray(r.accum)  # warm + sync
             t0 = time.perf_counter()
             nf = 8
+            # Product-shape animation loop (render/recorder.py:143-159,
+            # cli.py --animate): the native refit for frame k+1 runs on the
+            # WorldBridge worker thread (C++ releases the GIL) while the
+            # device renders frame k — the reference overlaps its WASM
+            # worker with GPU frames identically (VideoRecorder.ts:183-227).
+            r.bridge.update_async(1.0 / 30.0)
             for k in range(nf):
-                r.update_scene((k + 1) / 30.0)  # refit + reset
+                r.bridge.wait()
+                r.reupload_scene()  # refit upload + accumulation reset
+                if k + 1 < nf:
+                    r.bridge.update_async((k + 2) / 30.0)
                 r.render_frame()
             np.asarray(r.accum)
             fps = nf / max(time.perf_counter() - t0 - rt, 1e-6)
