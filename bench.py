@@ -90,8 +90,10 @@ def build(scene_name, obj_source=None, glb_data=None, width=512, height=512):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("width", "height", "spp", "depth"))
-def _chained_frames(wt, tex, camera, *, width, height, spp, depth, n):
+                   static_argnames=("width", "height", "spp", "depth",
+                                    "tune"))
+def _chained_frames(wt, tex, camera, *, width, height, spp, depth, n,
+                    tune=None):
     """n progressive frames chained on device; returns (mean-radiance sum,
     exact total rays traced). `n` is DYNAMIC on purpose: with a static
     bound XLA unrolls the frame loop and the unrolled program runs ~18%
@@ -99,11 +101,14 @@ def _chained_frames(wt, tex, camera, *, width, height, spp, depth, n):
     one compile covers every n."""
     from webgpu_raytracer_tpu.ops.dense_trace import trace_pixels_dense
 
+    from webgpu_raytracer_tpu.ops.tune import DEFAULT_TUNE
+
     def body(i, acc):
         s, rays = acc
         col, r = trace_pixels_dense(
             wt, tex, camera, i + 1, jnp.zeros(2, jnp.float32),
-            width, height, spp, depth, with_stats=True)
+            width, height, spp, depth, with_stats=True,
+            tune=tune or DEFAULT_TUNE)
         return s + col.mean(), rays + r
 
     return jax.lax.fori_loop(
@@ -136,13 +141,15 @@ def _chained_frames_gb(wt, tex, camera, *, width, height, spp, depth, n):
 
 
 def measure(wt, scene, camera, width, height, spp, depth, n, rt,
-            chained=_chained_frames):
+            chained=_chained_frames, tune=None):
     """MARGINAL chained timing: time(run(n)) - time(run(n2)) cancels every
     fixed cost — dispatch, readback, and the tunneled chip's (highly
     variable) round-trip latency — so the result is pure device throughput.
     The older absolute-minus-rt method swung 15% with tunnel weather."""
+    extra = {"tune": tune} if tune is not None else {}
     run = lambda k: chained(wt, scene.textures, camera, width=width,
-                            height=height, spp=spp, depth=depth, n=k)
+                            height=height, spp=spp, depth=depth, n=k,
+                            **extra)
     n2 = max(1, n // 4)
     s, rays_n = run(n)   # warm (compile) both shapes
     rays_2 = float(np.asarray(run(n2)[1]))

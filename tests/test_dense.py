@@ -73,11 +73,12 @@ def test_dense_trace_matches_bvh_trace():
     assert abs(a.mean() - b.mean()) < 1e-4
 
 
-def test_banded_trace_bit_identical(monkeypatch):
+def test_banded_trace_bit_identical():
     """Strip-mining (the 1080p working-set fix) must not change a single
     bit, whichever band axis: per-pixel RNG and arithmetic depend only on
     global pixel coords."""
     import webgpu_raytracer_tpu.ops.dense_trace as dt
+    from webgpu_raytracer_tpu.ops.tune import TuneConfig
 
     world = NativeWorld("cornell")
     world.update_camera(48, 48)
@@ -88,15 +89,14 @@ def test_banded_trace_bit_identical(monkeypatch):
     j = jnp.zeros(2, jnp.float32)
     args = (wt, scene.textures, cam, fc, j, 48, 48, 1, 5)
     a, ra = dt.trace_pixels_dense(*args, with_stats=True)
-    monkeypatch.setattr(dt, "BAND_MIN_R", 0)
-    monkeypatch.setattr(dt, "BAND_TARGET", 48 * 12)
-    assert dt._pick_bands(48, 48) == 4
-    b, rb = dt.trace_pixels_dense(*args, with_stats=True)
+    tune = TuneConfig(band_min_r=0, band_target=48 * 12)
+    assert dt._pick_bands(48, 48, tune) == 4
+    b, rb = dt.trace_pixels_dense(*args, with_stats=True, tune=tune)
     assert (np.asarray(a) == np.asarray(b)).all()
     assert float(ra) == float(rb)
 
 
-def test_tail_compaction_matches(monkeypatch):
+def test_tail_compaction_matches():
     """Static tail compaction (live lanes -> R/div buffers after RR
     collapses liveness) must reproduce the uncompacted frame, on the
     compacted branch, the overflow fallback, and a two-stage ladder.
@@ -104,6 +104,7 @@ def test_tail_compaction_matches(monkeypatch):
     exercises the compact branch; a stage at depth 1 (~2.4k live)
     exercises the fallback."""
     import webgpu_raytracer_tpu.ops.dense_trace as dt
+    from webgpu_raytracer_tpu.ops.tune import TuneConfig
 
     world = NativeWorld("cornell")
     world.update_camera(64, 48)
@@ -113,19 +114,17 @@ def test_tail_compaction_matches(monkeypatch):
     args = (wt, scene.textures, cam, jnp.asarray(2, jnp.int32),
             jnp.zeros(2, jnp.float32), 64, 48, 1, 8)
     a, ra = dt.trace_pixels_dense(*args, with_stats=True)
-    monkeypatch.setattr(dt, "TAIL_MIN_R", 0)
-    monkeypatch.setattr(dt, "TAIL_ALIGN", 256)
     for stages in (((5, 4),),        # compacted branch
                    ((1, 4),),        # overflow -> same-width fallback
                    ((1, 4), (5, 4)),  # stage 1 overflows, stage 2 compacts
                    ((4, 4), (6, 12))):  # two-stage ladder, both compact
-        monkeypatch.setattr(dt, "TAIL_STAGES", stages)
-        b, rb = dt.trace_pixels_dense(*args, with_stats=True)
+        tune = TuneConfig(tail_min_r=0, tail_align=256, tail_stages=stages)
+        b, rb = dt.trace_pixels_dense(*args, with_stats=True, tune=tune)
         assert (np.asarray(a) == np.asarray(b)).all(), stages
         assert float(ra) == float(rb), stages
 
 
-def test_column_banded_landscape_matches(monkeypatch):
+def test_column_banded_landscape_matches():
     """Landscape frames auto-select column strips. Per-pixel math depends
     only on global pixel coords; but the
     column program is a DIFFERENT XLA program than the row/unbanded one and
@@ -139,6 +138,7 @@ def test_column_banded_landscape_matches(monkeypatch):
     Covers the G-buffer-seeded path too (seed channel transposed/strip)."""
     import webgpu_raytracer_tpu.ops.dense_trace as dt
     from webgpu_raytracer_tpu.ops.gbuffer import render_gbuffer
+    from webgpu_raytracer_tpu.ops.tune import TuneConfig
 
     world = NativeWorld("cornell")
     world.update_camera(64, 40)
@@ -152,16 +152,15 @@ def test_column_banded_landscape_matches(monkeypatch):
     for sd in (None, seed):
         args = (wt, scene.textures, cam, fc, j, 64, 40, 1, 4)
         a, ra = dt.trace_pixels_dense(*args, with_stats=True, seed_wt_idx=sd)
-        monkeypatch.setattr(dt, "BAND_MIN_R", 0)
-        monkeypatch.setattr(dt, "BAND_TARGET", 40 * 16)
-        assert dt._pick_bands(40, 64) == 4  # 4 column strips of 16
-        b, rb = dt.trace_pixels_dense(*args, with_stats=True, seed_wt_idx=sd)
+        tune = TuneConfig(band_min_r=0, band_target=40 * 16)
+        assert dt._pick_bands(40, 64, tune) == 4  # 4 column strips of 16
+        b, rb = dt.trace_pixels_dense(*args, with_stats=True, seed_wt_idx=sd,
+                                      tune=tune)
         a, b = np.asarray(a), np.asarray(b)
         close = np.isclose(a, b, rtol=1e-5, atol=1e-6).all(axis=1).mean()
         assert close >= 0.99, close
         assert np.abs(a - b).mean() < 1e-4
         assert abs(float(ra) - float(rb)) <= 1e-3 * float(ra)
-        monkeypatch.undo()
 
 
 def test_dense_lights_mapping():

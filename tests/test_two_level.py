@@ -24,6 +24,7 @@ import pytest
 from webgpu_raytracer_tpu.models.native import NativeWorld
 from webgpu_raytracer_tpu.ops.dense import dense_closest, dense_shadow
 from webgpu_raytracer_tpu.ops.pallas_dense import _run2
+from webgpu_raytracer_tpu.ops.tune import TuneConfig
 from webgpu_raytracer_tpu.render.worldtris import build_world_tris
 
 
@@ -46,15 +47,14 @@ def _grid_world(n=13):
     return world
 
 
+TUNE = TuneConfig(m_tile2=512)  # several ray tiles at R=2048
+
+
 @pytest.fixture(scope="module")
 def grid_wt():
-    import webgpu_raytracer_tpu.ops.pallas_dense as pd
-    old = pd.M_TILE2
-    pd.M_TILE2 = 512  # several ray tiles at R=2048
     wt = build_world_tris(_grid_world())
     assert wt.featk3.shape[0] > 1, "fixture must be multi-tile"
-    yield wt
-    pd.M_TILE2 = old
+    return wt
 
 
 def _rays(R=2048):
@@ -76,7 +76,7 @@ def test_two_level_closest_row_shadow_match_reference(grid_wt):
     t_ref, i_ref = dense_closest(wt, ro_rows, rd_rows, t_max=tmax, active=act)
 
     t2, i2, row2 = _run2(wt, ro, rd, tmax, act, 1e-3, False, True,
-                         interpret=True)
+                         interpret=True, tune=TUNE)
     t2, i2 = np.asarray(t2), np.asarray(i2)
     t_ref, i_ref = np.asarray(t_ref), np.asarray(i_ref)
     hit = i_ref >= 0
@@ -93,7 +93,7 @@ def test_two_level_closest_row_shadow_match_reference(grid_wt):
     occ_ref = np.asarray(dense_shadow(wt, ro_rows, rd_rows, t_max=tmax,
                                       active=act))
     occ2 = np.asarray(_run2(wt, ro, rd, tmax, act, 1e-3, True, False,
-                            interpret=True))
+                            interpret=True, tune=TUNE))
     assert (occ_ref == occ2).all()
 
 
@@ -106,7 +106,7 @@ def test_two_level_unnormalized_directions(grid_wt):
                                  jnp.stack(rd_s, axis=1), t_max=tmax,
                                  active=act)
     t2, i2, _ = _run2(wt, ro, rd_s, tmax, act, 1e-3, False, True,
-                      interpret=True)
+                      interpret=True, tune=TUNE)
     t2, i2 = np.asarray(t2), np.asarray(i2)
     t_ref, i_ref = np.asarray(t_ref), np.asarray(i_ref)
     hit = i_ref >= 0

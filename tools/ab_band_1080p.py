@@ -13,6 +13,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from bench import build, measure, tunnel_rt  # noqa: E402
 import webgpu_raytracer_tpu.ops.dense_trace as dt  # noqa: E402
+from webgpu_raytracer_tpu.ops.tune import TuneConfig  # noqa: E402
 
 
 def main():
@@ -24,27 +25,24 @@ def main():
 
     mode = sys.argv[4] if len(sys.argv) > 4 else "band"
     if mode == "tail":
-        # Sweep tail-compaction knobs (trace-time module state) at the
-        # default band layout. "off" = compaction disabled.
+        # Sweep tail-compaction schedules. "off" = compaction disabled.
         variants = [("off", ()), ("d4/8", ((4, 8),)), ("d5/8", ((5, 8),)),
                     ("d6/8", ((6, 8),)), ("d3/4+d5/16", ((3, 4), (5, 16))),
                     ("d5/16", ((5, 16),))]
         for name, stages in variants:
-            dt.TAIL_STAGES = stages
-            jax.clear_caches()
+            tune = TuneConfig(tail_stages=stages)
             t0 = time.perf_counter()
             v, mean_rad, rpf = measure(wt, scene, camera, w, h, 1, depth,
-                                       8, rt)
+                                       8, rt, tune=tune)
             print(f"tail {name}: {v:.2f} Mrays/s  mean={mean_rad:.4f} "
                   f"(wall {time.perf_counter()-t0:.0f}s)", flush=True)
         return
     if mode == "axis":
         for axis in ("rows", "cols"):
-            dt.BAND_AXIS = axis
-            jax.clear_caches()
+            tune = TuneConfig(band_axis=axis)
             t0 = time.perf_counter()
             v, mean_rad, rpf = measure(wt, scene, camera, w, h, 1, depth,
-                                       8, rt)
+                                       8, rt, tune=tune)
             print(f"axis {axis}: {v:.2f} Mrays/s  mean={mean_rad:.4f} "
                   f"(wall {time.perf_counter()-t0:.0f}s)", flush=True)
         return
@@ -52,14 +50,11 @@ def main():
                          ("banded-15", 140000), ("banded-18", 115200),
                          ("banded-24", 86500), ("banded-36", 57600),
                          ("banded-54", 38400)):
-        dt.BAND_TARGET = target
-        # BAND_TARGET is module state read at trace time, not a jit cache
-        # key: without this the second variant silently reuses the first
-        # variant's compiled executable.
-        jax.clear_caches()
-        nb = dt._pick_bands(w, h)
+        tune = TuneConfig(band_target=target)
+        nb = dt._pick_bands(w, h, tune)
         t0 = time.perf_counter()
-        v, mean_rad, rpf = measure(wt, scene, camera, w, h, 1, depth, 8, rt)
+        v, mean_rad, rpf = measure(wt, scene, camera, w, h, 1, depth, 8, rt,
+                                   tune=tune)
         print(f"{name}: bands={nb} {v:.2f} Mrays/s  mean={mean_rad:.4f} "
               f"rays/frame={rpf/1e6:.2f}M  (wall {time.perf_counter()-t0:.0f}s)",
               flush=True)

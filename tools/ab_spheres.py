@@ -3,9 +3,9 @@
 The tunneled chip's throughput drifts ~2x over minutes, so sequential A/B
 runs are meaningless (measured: the same compiled program at 517 and 902
 ms/frame eleven minutes apart). This tool compiles each variant as its OWN
-jit entry (trace-time module flags — a plain monkeypatch would silently
-reuse the first variant's cache entry) and interleaves timing rounds
-A,B,A,B..., reporting per-round pairs so weather shifts are visible.
+jit entry (each variant is a distinct TuneConfig, an explicit jit cache
+key) and interleaves timing rounds A,B,A,B..., reporting per-round pairs
+so weather shifts are visible.
 
 Run: python tools/ab_spheres.py [key|m2]
 """
@@ -19,12 +19,12 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from bench import build, tunnel_rt  # noqa: E402
-import webgpu_raytracer_tpu.ops.pallas_dense as pd  # noqa: E402
+from webgpu_raytracer_tpu.ops.tune import TuneConfig  # noqa: E402
 
 
-def make_chained(wt, tex, camera, variant_setup, width=512, height=512,
+def make_chained(wt, tex, camera, tune, width=512, height=512,
                  spp=1, depth=8):
-    """A fresh jit entry whose trace runs under `variant_setup()`."""
+    """A fresh jit entry traced with this variant's TuneConfig."""
     from webgpu_raytracer_tpu.ops.dense_trace import trace_pixels_dense
 
     def fn(wt, tex, camera, n):
@@ -32,15 +32,14 @@ def make_chained(wt, tex, camera, variant_setup, width=512, height=512,
             s, rays = acc
             col, r = trace_pixels_dense(
                 wt, tex, camera, i + 1, jnp.zeros(2, jnp.float32),
-                width, height, spp, depth, with_stats=True)
+                width, height, spp, depth, with_stats=True, tune=tune)
             return s + col.mean(), rays + r
 
         return jax.lax.fori_loop(0, n, body,
                                  (jnp.zeros(()), jnp.zeros(())))
 
     jf = jax.jit(fn)
-    variant_setup()
-    # Trace + compile both shapes now, under the variant's flags.
+    # Trace + compile both shapes now.
     jax.block_until_ready(jf(wt, tex, camera, 4))
     jax.block_until_ready(jf(wt, tex, camera, 1))
     return jf
@@ -52,35 +51,23 @@ def main():
     world, wt, scene, camera = build("spheres")
 
     if mode == "key":
-        variants = {
-            "sbox": lambda: setattr(pd, "KEY_MODE", "sbox"),
-            "obox": lambda: setattr(pd, "KEY_MODE", "obox"),
-        }
+        variants = {"sbox": TuneConfig(key_mode="sbox"),
+                    "obox": TuneConfig(key_mode="obox")}
     elif mode == "dir":
-        variants = {
-            f"dir{v}": (lambda v=v: setattr(pd, "DIR_BITS", v))
-            for v in (1, 2, 3)
-        }
+        variants = {f"dir{v}": TuneConfig(dir_bits=v) for v in (1, 2, 3)}
     elif mode == "cell":
-        variants = {
-            f"cell{v}": (lambda v=v: setattr(pd, "CELL_BITS", v))
-            for v in (2, 3, 4, 5)
-        }
+        variants = {f"cell{v}": TuneConfig(cell_bits=v)
+                    for v in (2, 3, 4, 5)}
     elif mode == "sub":
-        import webgpu_raytracer_tpu.ops.cluster_cull as cc
-        variants = {
-            f"sub{v}": (lambda v=v: setattr(cc, "SUBTILE", v))
-            for v in (1024, 32, 8)
-        }
+        variants = {f"sub{v}": TuneConfig(subtile=v)
+                    for v in (1024, 32, 8)}
     else:
-        variants = {
-            "m1024": lambda: setattr(pd, "M_TILE2", 1024),
-            "m512": lambda: setattr(pd, "M_TILE2", 512),
-        }
+        variants = {"m1024": TuneConfig(m_tile2=1024),
+                    "m512": TuneConfig(m_tile2=512)}
 
     fns = {}
-    for name, setup in variants.items():
-        fns[name] = make_chained(wt, scene.textures, camera, setup)
+    for name, tune in variants.items():
+        fns[name] = make_chained(wt, scene.textures, camera, tune)
         print(f"compiled {name}", flush=True)
 
     rays = {}

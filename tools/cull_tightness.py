@@ -18,7 +18,8 @@ from bench import build  # noqa: E402
 import webgpu_raytracer_tpu.ops.pallas_dense as pd  # noqa: E402
 from webgpu_raytracer_tpu.ops.cluster_cull import tile_cluster_worklist  # noqa: E402
 
-M = pd.M_TILE2
+from webgpu_raytracer_tpu.ops.tune import DEFAULT_TUNE
+M = DEFAULT_TUNE.m_tile2
 
 
 def exact_counts(rayfT, t_max, sph, m_tile):

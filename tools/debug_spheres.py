@@ -1,7 +1,7 @@
 """Kernel-ablation attribution of the spheres survivor loop (real TPU).
 
 Times _run2 (no row fetch) on a realistic bounce-1 population under three
-trace-time ablations (`pallas_dense._DEBUG2`):
+trace-time ablations (`TuneConfig.debug2`):
 
   normal  — production kernel
   noproc  — loop runs every cull but never DMAs/processes a cluster
@@ -64,15 +64,16 @@ def main():
     o, d, tm = bounce_population(wt, camera)
     act = jnp.ones(R, bool)
 
+    from webgpu_raytracer_tpu.ops.tune import TuneConfig
+
     fns = {}
     for name in ("normal", "noproc", "nocull"):
-        pd._DEBUG2 = "" if name == "normal" else name
-        f = jax.jit(lambda o, d, tm: pd._run2(
-            wt, o, d, tm, act, 1e-3, False, False))
+        tune = TuneConfig(debug2="" if name == "normal" else name)
+        f = jax.jit(lambda o, d, tm, tune=tune: pd._run2(
+            wt, o, d, tm, act, 1e-3, False, False, tune=tune))
         jax.block_until_ready(f(o, d, tm))
         fns[name] = f
         print(f"compiled {name}", flush=True)
-    pd._DEBUG2 = ""
 
     for rnd in range(4):
         line = []

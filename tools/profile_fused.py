@@ -13,7 +13,9 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from bench import build  # noqa: E402
-import webgpu_raytracer_tpu.ops.pallas_dense as pd  # noqa: E402
+import webgpu_raytracer_tpu.ops.pallas_dense as pd
+from webgpu_raytracer_tpu.ops.tune import DEFAULT_TUNE
+M2 = DEFAULT_TUNE.m_tile2  # noqa: E402
 from webgpu_raytracer_tpu.ops.dense_trace import intersect_and_shade  # noqa: E402
 from webgpu_raytracer_tpu.ops.v3 import V3  # noqa: E402
 
@@ -109,7 +111,7 @@ def main():
         zpad = jnp.zeros((FEAT_K3 - 3 * FEAT_P, rayfT.shape[1]), rh.dtype)
         rayk3 = jnp.concatenate([rh, rl, rh, zpad], axis=0)
         order, keys, counts = tile_cluster_worklist(rayfT, sortedT[6],
-                                                    sph_flat, pd.M_TILE2)
+                                                    sph_flat, M2)
         return rayk3.sum() + order.sum() + keys.sum() + counts.sum() \
             + inv_perm.sum()
 
@@ -122,7 +124,7 @@ def main():
                                   1))
     rayfT0 = pd.rayf_from_components(*(x for x in ro), *(x for x in rd))
     f_wl = jax.jit(lambda rf, t_: tile_cluster_worklist(rf, t_, sph_flat,
-                                                        pd.M_TILE2))
+                                                        M2))
     o_, k_, counts = f_wl(rayfT0, tmax)
     print(f"worklist alone 2R : {timeit(f_wl, rayfT0, tmax):8.2f} ms",
           flush=True)

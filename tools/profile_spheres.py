@@ -24,7 +24,9 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from bench import build  # noqa: E402
-import webgpu_raytracer_tpu.ops.pallas_dense as pd  # noqa: E402
+import webgpu_raytracer_tpu.ops.pallas_dense as pd
+from webgpu_raytracer_tpu.ops.tune import DEFAULT_TUNE
+M2 = DEFAULT_TUNE.m_tile2  # noqa: E402
 from webgpu_raytracer_tpu.ops.dense_trace import intersect_and_shade  # noqa: E402
 from webgpu_raytracer_tpu.ops.v3 import V3, dot  # noqa: E402
 
@@ -135,7 +137,7 @@ def main():
                                     *[x[perm] for x in rd])
     stm = tm[perm]
     f_wl = jax.jit(lambda rf, t_: tile_cluster_worklist(rf, t_, sph_flat,
-                                                        pd.M_TILE2))
+                                                        M2))
     o_, k_, counts = f_wl(rayfT, stm)
     print(f"worklist       : {timeit(f_wl, rayfT, stm):8.2f} ms", flush=True)
     counts = np.asarray(counts)

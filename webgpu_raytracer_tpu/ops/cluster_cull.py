@@ -23,11 +23,8 @@ import jax
 import jax.numpy as jnp
 
 
-SUBTILE = 32  # cone-cull granularity (lanes); tiles OR-reduce their subtiles
-
-
 def tile_cluster_worklist(rayfT, t_max, spheres, m_tile: int,
-                          sub: int | None = None):
+                          sub: int = 32):
     """Conservative per-ray-tile cluster survivor lists.
 
     rayfT:   (16, Rp) transposed ray features (d=rows 0:3, o=rows 6:9)
@@ -47,8 +44,6 @@ def tile_cluster_worklist(rayfT, t_max, spheres, m_tile: int,
     sorted min-reach distances; counts (T,) i32.
     """
     k, rp = rayfT.shape
-    if sub is None:
-        sub = SUBTILE  # module global read at TRACE time (A/B tooling)
     if m_tile % sub:
         sub = m_tile
     t_big = rp // m_tile

@@ -61,13 +61,15 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def dense_closest(wt: WorldTris, ro, rd, t_min=1e-3, t_max=T_MAX, active=None):
+def dense_closest(wt: WorldTris, ro, rd, t_min=1e-3, t_max=T_MAX,
+                  active=None, tune=None):
     """Closest hit. Returns (t, wt_idx) with wt_idx == -1 on miss."""
     if _use_pallas():
         from .pallas_dense import pallas_closest
+        from .tune import DEFAULT_TUNE
 
         return pallas_closest(wt, ro, rd, t_min=t_min, t_max=t_max,
-                              active=active)
+                              active=active, tune=tune or DEFAULT_TUNE)
     R = ro.shape[0]
     if active is None:
         active = jnp.ones(R, bool)
@@ -96,13 +98,15 @@ def dense_closest(wt: WorldTris, ro, rd, t_min=1e-3, t_max=T_MAX, active=None):
     return best_t, best_i
 
 
-def dense_shadow(wt: WorldTris, ro, rd, t_max, t_min=1e-3, active=None):
+def dense_shadow(wt: WorldTris, ro, rd, t_max, t_min=1e-3, active=None,
+                 tune=None):
     """Any-hit occlusion. Returns bool (R,)."""
     if _use_pallas():
         from .pallas_dense import pallas_shadow
+        from .tune import DEFAULT_TUNE
 
         return pallas_shadow(wt, ro, rd, t_max=t_max, t_min=t_min,
-                             active=active)
+                             active=active, tune=tune or DEFAULT_TUNE)
     R = ro.shape[0]
     if active is None:
         active = jnp.ones(R, bool)

@@ -27,6 +27,7 @@ from . import bsdf_v3 as bsdf
 from .bsdf_v3 import PI, Scatter, power_heuristic
 from .dense import T_MAX, dense_closest, dense_shadow
 from .rng import init_rng, rand_n, rand_pcg
+from .tune import DEFAULT_TUNE, TuneConfig
 from .v3 import V3, cross, dot, length, max_component, normalize, splat, where
 from ..render.worldtris import SHADE_COLS, WorldTris
 
@@ -176,13 +177,14 @@ def _mt_refine_t(rowT, ro: V3, rd: V3):
     return f * dot(e2, q)
 
 
-def intersect_and_shade(wt: WorldTris, textures, ro: V3, rd: V3,
-                        active) -> DenseHit:
+def intersect_and_shade(wt: WorldTris, textures, ro: V3, rd: V3, active,
+                        tune: TuneConfig = DEFAULT_TUNE) -> DenseHit:
     if _use_pallas():
         from .pallas_dense import pallas_closest_with_row
 
         t, idx, rowT = pallas_closest_with_row(
-            wt, (ro.x, ro.y, ro.z), (rd.x, rd.y, rd.z), active=active)
+            wt, (ro.x, ro.y, ro.z), (rd.x, rd.y, rd.z), active=active,
+            tune=tune)
     else:
         from .v3 import to_rows
 
@@ -215,7 +217,8 @@ def seed_hit_from_wt_idx(wt: WorldTris, textures, wt_idx, ro: V3,
 
 
 def fused_shadow_and_next(wt: WorldTris, textures, sro: V3, srd: V3, s_tmax,
-                          s_active, cro: V3, crd: V3, c_active):
+                          s_active, cro: V3, crd: V3, c_active,
+                          tune: TuneConfig = DEFAULT_TUNE):
     """One traversal sweep for both per-bounce ray sets.
 
     The NEE shadow ray and the next-bounce extension ray are batched as 2R
@@ -235,7 +238,8 @@ def fused_shadow_and_next(wt: WorldTris, textures, sro: V3, srd: V3, s_tmax,
         tmax = cat([s_tmax, jnp.full(R, T_MAX, jnp.float32)])
         act = cat([s_active, c_active])
         t, idx, rowT = pallas_closest_with_row(wt, ro, rd, t_max=tmax,
-                                               active=act, row_from_lane=R)
+                                               active=act, row_from_lane=R,
+                                               tune=tune)
         occluded = idx[:R] >= 0
         nt, nidx, nrowT = t[R:], idx[R:], rowT  # rows cover lanes [R:] only
         nt = jnp.where(nidx >= 0, _mt_refine_t(nrowT, cro, crd), nt)
@@ -243,17 +247,19 @@ def fused_shadow_and_next(wt: WorldTris, textures, sro: V3, srd: V3, s_tmax,
             textures, nrowT, cro, crd, valid=nidx >= 0)
         return occluded, DenseHit(nrowT, nidx, nt, tex_u, tex_v, normal,
                                   geom_n, albedo)
-    occluded = shadow_query(wt, sro, srd, t_max=s_tmax, active=s_active)
-    nhit = intersect_and_shade(wt, textures, cro, crd, c_active)
+    occluded = shadow_query(wt, sro, srd, t_max=s_tmax, active=s_active,
+                            tune=tune)
+    nhit = intersect_and_shade(wt, textures, cro, crd, c_active, tune=tune)
     return occluded, nhit
 
 
-def shadow_query(wt: WorldTris, ro: V3, rd: V3, t_max, active):
+def shadow_query(wt: WorldTris, ro: V3, rd: V3, t_max, active,
+                 tune: TuneConfig = DEFAULT_TUNE):
     if _use_pallas():
         from .pallas_dense import pallas_shadow
 
         return pallas_shadow(wt, (ro.x, ro.y, ro.z), (rd.x, rd.y, rd.z),
-                             t_max=t_max, active=active)
+                             t_max=t_max, active=active, tune=tune)
     from .v3 import to_rows
 
     return dense_shadow(wt, to_rows(ro), to_rows(rd), t_max=t_max,
@@ -336,23 +342,20 @@ def _offset_eps(p: V3):
     return 1e-4 * jnp.maximum(1.0, m)
 
 
-# Tail-compaction schedule: ((depth, div), ...) — from bounce `depth`
-# onward, live lanes run in a static ceil(R/div) buffer (with a same-width
-# fallback when the live count overflows). Depths ascend; budgets are
-# relative to the ORIGINAL R. Swept on TPU v5e (tools/ab_band_1080p.py
-# tail, cornell 1080p d8): off 167 / d5-div8 183 / d5-div16 198 Mrays/s —
-# post-RR liveness (~2.5%) fits div16 with headroom, and the halved tail
-# buffers nearly halve the late-bounce fusion cost.
-TAIL_STAGES = ((5, 16),)
-TAIL_ALIGN = 2048    # round budgets up to kernel-tile-friendly multiples
-TAIL_MIN_R = 100000  # no compaction below this lane count: 1080p column
-                     # strips (138k lanes) and 512^2 frames (262k) compact;
-                     # the 256^2 multichip dryrun (65k) and CI-size frames
-                     # stay on the single-program path
+# Tail-compaction schedule ((depth, div), ...) lives in
+# ops/tune.TuneConfig.tail_stages: from bounce `depth` onward, live lanes
+# run in a static ceil(R/div) buffer (with a same-width fallback when the
+# live count overflows). Depths ascend; budgets are relative to the
+# ORIGINAL R. Swept on TPU v5e (tools/ab_band_1080p.py tail, cornell 1080p
+# d8): off 167 / d5-div8 183 / d5-div16 198 Mrays/s — post-RR liveness
+# (~2.5%) fits div16 with headroom, and the halved tail buffers nearly
+# halve the late-bounce fusion cost. tail_min_r keeps small frames (the
+# 256^2 multichip dryrun, CI-size frames) on the single-program path.
 
 
 def ray_color_dense(wt: WorldTris, textures, ro: V3, rd: V3, rng,
-                    max_depth: int, hit0: DenseHit | None = None):
+                    max_depth: int, hit0: DenseHit | None = None,
+                    tune: TuneConfig = DEFAULT_TUNE):
     """Returns (radiance V3, rng, rays): `rays` is the EXACT number of rays
     traced for this sample batch (primary + NEE shadow + extension lanes
     actually swept) — the honest numerator for Mrays/s reporting.
@@ -366,7 +369,8 @@ def ray_color_dense(wt: WorldTris, textures, ro: V3, rd: V3, rng,
 
     primary_rays = 0.0 if hit0 is not None else float(R)
     if hit0 is None:
-        hit0 = intersect_and_shade(wt, textures, ro, rd, jnp.ones(R, bool))
+        hit0 = intersect_and_shade(wt, textures, ro, rd, jnp.ones(R, bool),
+                                   tune=tune)
     active0 = hit0.wt >= 0
 
     class _S(NamedTuple):
@@ -504,7 +508,7 @@ def ray_color_dense(wt: WorldTris, textures, ro: V3, rd: V3, rng,
         occluded, nhit = fused_shadow_and_next(
             wt, textures,
             hit_p + geom_n * eps, ldir, ldist - 2.0 * end_eps, nee_lane,
-            ro_next, rd_next, do_next)
+            ro_next, rd_next, do_next, tune=tune)
         take = nee_lane & ~occluded & (bsdf_pdf > 0.0)
         wgt = jnp.where(
             take,
@@ -531,7 +535,7 @@ def ray_color_dense(wt: WorldTris, textures, ro: V3, rd: V3, rng,
     # (measured: cornell per-bounce live collapses 28% -> 2.5% across
     # bounce 4's RR; open scenes collapse even earlier via escape) yet
     # still pay full-R sweeps and ~30 full-R fusions — ~1/3 of the frame
-    # serving <5% of the rays. At each TAIL_STAGES (depth, div) boundary
+    # serving <5% of the rays. At each tune.tail_stages (depth, div) boundary
     # the live lanes are compacted into a static ceil(R/div) buffer (one
     # (R, 28) row gather + one rowT transpose-gather; int/bool state rides
     # bitcast f32 rows — gathers/stacks are bit-preserving memory ops),
@@ -581,7 +585,7 @@ def ray_color_dense(wt: WorldTris, textures, ro: V3, rd: V3, rng,
         (d, div), rest = stages[0], stages[1:]
         s = jax.lax.fori_loop(depth0, d, body, s)
         r_cur = s.prev_pdf.shape[0]
-        r_new = -(-(R // div) // TAIL_ALIGN) * TAIL_ALIGN
+        r_new = -(-(R // div) // tune.tail_align) * tune.tail_align
         if r_new >= r_cur:
             return _run_from(d, s, rest)
         live = s.active
@@ -600,15 +604,16 @@ def ray_color_dense(wt: WorldTris, textures, ro: V3, rd: V3, rng,
 
         return jax.lax.cond(live.sum() <= r_new, compact, full, s)
 
-    stages = [sv for sv in TAIL_STAGES if 0 < sv[0] < max_depth]
-    if R < TAIL_MIN_R:
+    stages = [sv for sv in tune.tail_stages if 0 < sv[0] < max_depth]
+    if R < tune.tail_min_r:
         stages = []
     return _run_from(0, state, tuple(stages))
 
 
 def ray_color_dense_rows(wt: WorldTris, textures, ro: V3, rd: V3, rng,
                          max_depth: int, hit0: DenseHit | None = None,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         tune: TuneConfig = DEFAULT_TUNE):
     """Row-state bounce loop: ONE Pallas shade kernel + one fused sweep per
     bounce (ops/shade_rows.py). Estimator-identical to ray_color_dense —
     same RNG streams, same sequencing — restricted to the 1x1 white texture
@@ -622,7 +627,7 @@ def ray_color_dense_rows(wt: WorldTris, textures, ro: V3, rd: V3, rng,
     if hit0 is None:
         _, idx0, rowT0 = pallas_closest_with_row(
             wt, (ro.x, ro.y, ro.z), (rd.x, rd.y, rd.z),
-            active=jnp.ones(R, bool), interpret=interpret)
+            active=jnp.ones(R, bool), interpret=interpret, tune=tune)
         primary_rays = float(R)
     else:
         idx0, rowT0 = hit0.wt, hit0.rowT
@@ -661,7 +666,7 @@ def ray_color_dense_rows(wt: WorldTris, textures, ro: V3, rd: V3, rng,
             _, idx2, rowT2 = pallas_closest_with_row(
                 wt, ro2, rd2, t_max=tmax2,
                 active=jnp.ones(2 * R, bool), row_from_lane=R,
-                interpret=interpret)
+                interpret=interpret, tune=tune)
             occluded = (idx2[:R] >= 0).astype(f32)
             state_next = cat([out[0:19], occluded[None, :]], axis=0)
             rays = rays + out[15].sum() + out[26].sum()
@@ -700,23 +705,21 @@ def _rows_path_ok(textures, wt: WorldTris) -> bool:
             and wt.light_rows.shape[0] <= LROWS_PAD)
 
 
-BAND_TARGET = 140000   # lanes per band at large R (scanned optimum on v5e:
-                       # 1080p best at 15 bands = 138k lanes, +54% vs unbanded)
-BAND_MIN_R = 1 << 19   # frames at or below this run unbanded (banding 512^2
-                       # measurably HURTS: per-band fixed costs dominate)
-BAND_AXIS = "auto"     # "auto": COLUMN bands for landscape frames (see below),
-                       # row bands otherwise; "rows"/"cols" force (A/B knob)
+# Strip-mining knobs (band_target / band_min_r / band_axis) live in
+# ops/tune.TuneConfig. Measured on v5e: 1080p best at 15 bands = 138k
+# lanes (+54% vs unbanded); banding 512^2 measurably HURTS (per-band fixed
+# costs dominate), hence band_min_r.
 
 
-def _pick_bands(width: int, height: int) -> int:
-    """Bands to strip-mine a frame into, keeping ~BAND_TARGET lanes per
+def _pick_bands(width: int, height: int, tune: TuneConfig) -> int:
+    """Bands to strip-mine a frame into, keeping ~tune.band_target lanes per
     band. Returns 1 (no banding) when the frame is small enough or when no
     band count in [ideal, 2*ideal] divides the height evenly (bands must
     share a static shape)."""
     R = width * height
-    if R <= BAND_MIN_R:
+    if R <= tune.band_min_r:
         return 1
-    ideal = -(-R // BAND_TARGET)  # ceil
+    ideal = -(-R // tune.band_target)  # ceil
     for nb in range(ideal, min(2 * ideal, height) + 1):
         if height % nb == 0:
             return nb
@@ -727,7 +730,8 @@ def trace_pixels_dense(wt: WorldTris, textures, camera24, frame_count, jitter,
                        width: int, height: int, spp: int, max_depth: int,
                        row0=0, full_height: int | None = None,
                        total_spp: int | None = None, sample0=0,
-                       with_stats: bool = False, seed_wt_idx=None):
+                       with_stats: bool = False, seed_wt_idx=None,
+                       tune: TuneConfig = DEFAULT_TUNE):
     """Dense-backend frame render; same signature semantics as
     ops.trace.trace_pixels (tile/sample sharding offsets included).
 
@@ -743,12 +747,12 @@ def trace_pixels_dense(wt: WorldTris, textures, camera24, frame_count, jitter,
     sample's own ray so, at lens_radius == 0, radiance is bit-identical to
     the traced-primary path.
 
-    Frames larger than BAND_TARGET lanes are STRIP-MINED into bands
+    Frames larger than tune.band_target lanes are STRIP-MINED into bands
     processed sequentially inside the jitted step: the per-bounce working
     set (~30 fusions of (R,) state + (40, R) shade rows) stays VMEM-close
     at its 512^2-class sweet spot instead of thrashing HBM at 1080p
     (measured 2.3x per-ray collapse without it). Landscape frames band by
-    COLUMN strips (BAND_AXIS) so the dead horizontal periphery collapses
+    COLUMN strips (tune.band_axis) so the dead horizontal periphery collapses
     into all-dead bands whose bounce loops skip entirely; portrait/square
     frames band by rows. Per-pixel RNG and arithmetic depend only on the
     global pixel coords: ROW banding is bit-identical to the unbanded path
@@ -762,8 +766,9 @@ def trace_pixels_dense(wt: WorldTris, textures, camera24, frame_count, jitter,
     if total_spp is None:
         total_spp = spp
 
-    nb = _pick_bands(width, height)
-    use_cols = BAND_AXIS == "cols" or (BAND_AXIS == "auto" and width > height)
+    nb = _pick_bands(width, height, tune)
+    use_cols = tune.band_axis == "cols" or (
+        tune.band_axis == "auto" and width > height)
     if use_cols:
         # Bands as COLUMN strips, lanes column-major inside each strip.
         # Rationale: dead pixels cluster at the horizontal periphery of
@@ -775,7 +780,7 @@ def trace_pixels_dense(wt: WorldTris, textures, camera24, frame_count, jitter,
         # skip via the existing any(active) lax.cond. Per-pixel RNG and
         # arithmetic are enumeration-invariant (one transpose re-assembles
         # the frame); see the docstring for the cross-program FP caveat.
-        nbc = _pick_bands(height, width)  # band count dividing WIDTH
+        nbc = _pick_bands(height, width, tune)  # band count dividing WIDTH
         if nbc > 1:
             band_w = width // nbc
             band_R = band_w * height
@@ -796,7 +801,7 @@ def trace_pixels_dense(wt: WorldTris, textures, camera24, frame_count, jitter,
                 col_b, rays_b = _trace_lanes(
                     wt, textures, camera24, frame_count, jitter, gx, gy,
                     width, full_height, spp, max_depth, total_spp, sample0,
-                    seed_b)
+                    seed_b, tune)
                 out = jax.lax.dynamic_update_slice(out, col_b, (b * band_R, 0))
                 return out, rays + rays_b
 
@@ -826,7 +831,8 @@ def trace_pixels_dense(wt: WorldTris, textures, camera24, frame_count, jitter,
                 + jnp.asarray(b, jnp.uint32) * jnp.uint32(band_h)
             col_b, rays_b = _trace_lanes(
                 wt, textures, camera24, frame_count, jitter, gx, gy, width,
-                full_height, spp, max_depth, total_spp, sample0, seed_b)
+                full_height, spp, max_depth, total_spp, sample0, seed_b,
+                tune)
             out = jax.lax.dynamic_update_slice(out, col_b, (b * band_R, 0))
             return out, rays + rays_b
 
@@ -844,7 +850,7 @@ def trace_pixels_dense(wt: WorldTris, textures, camera24, frame_count, jitter,
     gy = lane // jnp.uint32(width) + jnp.asarray(row0, jnp.uint32)
     out = _trace_lanes(wt, textures, camera24, frame_count, jitter, gx, gy,
                        width, full_height, spp, max_depth, total_spp,
-                       sample0, seed_wt_idx)
+                       sample0, seed_wt_idx, tune)
     if with_stats:
         return out
     return out[0]
@@ -852,7 +858,8 @@ def trace_pixels_dense(wt: WorldTris, textures, camera24, frame_count, jitter,
 
 def _trace_lanes(wt: WorldTris, textures, camera24, frame_count, jitter,
                  gx, gy, width: int, full_height: int, spp: int,
-                 max_depth: int, total_spp: int, sample0, seed_wt_idx):
+                 max_depth: int, total_spp: int, sample0, seed_wt_idx,
+                 tune: TuneConfig = DEFAULT_TUNE):
     """Trace one batch of lanes at GLOBAL pixel coords (gx, gy) (R,) u32.
 
     Pixel enumeration order is the caller's choice (row-major frame, row
@@ -902,7 +909,7 @@ def _trace_lanes(wt: WorldTris, textures, camera24, frame_count, jitter,
         tracer = (ray_color_dense_rows if _rows_path_ok(textures, wt)
                   else ray_color_dense)
         col, _, rays = tracer(wt, textures, ro, d, rng, max_depth,
-                              hit0=hit0)
+                              hit0=hit0, tune=tune)
         ax, ay, az, ar = acc
         return (ax + col.x, ay + col.y, az + col.z, ar + rays)
 

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from .dense import dense_closest
 from .dense_trace import intersect_and_shade, _use_pallas
 from .trace import camera_unpack
+from .tune import DEFAULT_TUNE, TuneConfig
 from .v3 import V3
 from ..render.worldtris import SHADE_COLS, WorldTris
 
@@ -66,8 +67,8 @@ def unpack_normal_oct(ox, oy) -> V3:
 
 
 def render_gbuffer(wt: WorldTris, textures, camera24, width: int, height: int,
-                   jitter=None, z_near: float = 0.01,
-                   z_far: float = 100.0) -> GBuffer:
+                   jitter=None, z_near: float = 0.01, z_far: float = 100.0,
+                   tune: TuneConfig = DEFAULT_TUNE) -> GBuffer:
     """Cast primary rays and emit the G-buffer MRT set."""
     cam = camera_unpack(camera24)
     R = width * height
@@ -89,7 +90,8 @@ def render_gbuffer(wt: WorldTris, textures, camera24, width: int, height: int,
     )
     del cam
 
-    hit = intersect_and_shade(wt, textures, ro, rd, jnp.ones(R, bool))
+    hit = intersect_and_shade(wt, textures, ro, rd, jnp.ones(R, bool),
+                              tune=tune)
     found = hit.wt >= 0
 
     rowT = hit.rowT

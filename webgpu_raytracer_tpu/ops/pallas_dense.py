@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .tune import DEFAULT_TUNE, TuneConfig
 from ..render.worldtris import (FEAT_K, FEAT_K3, FEAT_P, SHADE_K, SHADE_KP,
                                 WorldTris)
 
@@ -207,12 +208,13 @@ def rayf_from_components(rox, roy, roz, rdx, rdy, rdz):
 
 
 def _run(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
-         with_row: bool, row_from_lane: int = 0, interpret: bool = False):
+         with_row: bool, row_from_lane: int = 0, interpret: bool = False,
+         tune: TuneConfig = DEFAULT_TUNE):
     """ro, rd are V3 components; t_max/active (R,). Returns transposed outs."""
     if wt.featk3.shape[0] > 1:
         # Multi-tile scene: the two-level culled sweep.
         return _run2(wt, ro, rd, t_max, active, t_min, any_hit, with_row,
-                     row_from_lane, interpret=interpret)
+                     row_from_lane, interpret=interpret, tune=tune)
     rox, roy, roz = ro
     rdx, rdy, rdz = rd
     R = rox.shape[0]
@@ -310,43 +312,11 @@ def _run(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
 # their operand blocks HBM->VMEM with double-buffered manual DMA.
 # ---------------------------------------------------------------------------
 
-M_TILE2 = 1024  # rays per tile for the two-level path (tighter cull cones)
 
-# Coherence-sort key origin-cell frame, read at TRACE time ("obox" = live
-# ray-origin bbox, "sbox" = cluster-geometry bbox). A/B knob: distinct jit
-# wrappers re-trace with different values (tools/ab_spheres.py).
-KEY_MODE = "obox"
-
-# Direction-bin granularity of the coherence-sort key: 1 = sign octants
-# (8 bins), n = n bits per normalized component (8^n bins). A/B knob read
-# at trace time (tools/ab_spheres.py dir).
-DIR_BITS = 1
-
-# Origin-cell bits per axis of the coherence-sort key (A/B knob).
-# Measured on TPU v5e (tools/ab_spheres.py cell, spheres 512^2 d8):
-# 2..5 bits span only ~3% (803/811/820/795 ms); 5 is marginally best.
-CELL_BITS = 5
-
-# Measurement-only kernel ablations (tools/debug_spheres.py):
-#   "noproc" — survivor loop runs culls but never DMAs/processes
-#   "nocull" — every reachable survivor is processed (cull forced True)
-_DEBUG2 = ""
-
-# Survivor-DMA prefetch depth: the scan (cull + DMA-start) runs up to this
-# many clusters ahead of processing. At depth 1 the HBM copy of a surviving
-# cluster started only one cull (~0.14 us) before its matmul needed it, so
-# ~1.6 us of DMA latency was exposed on nearly every processed cluster
-# (measured: 2.7 us/processed normally vs ~1.5 us when every reachable
-# cluster streams back-to-back — tools/debug_spheres.py).
-PREFETCH_DEPTH = 4
-
-# Survivors processed per matmul. The sweep matmul is pipeline-fill
-# dominated at K=32 (a (4C, 32) x (32, M) dot costs nearly the same for
-# one cluster as for two stacked along the output rows), and the commit
-# (winner reduce + accumulator writes + interval refresh) amortizes across
-# the batch, so pairing survivors cuts the per-cluster process cost.
-# Must divide PREFETCH_DEPTH.
-PROC_BATCH = 2
+# The two-level sweep's measured A/B knobs (coherence-sort key shape,
+# prefetch depth, matmul batching, kernel ablations) live in
+# ops/tune.TuneConfig and are threaded explicitly from the tracer entry
+# points — see that module for what each field trades.
 
 
 def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, cull8_ref, tmax_ref,
@@ -664,7 +634,7 @@ def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, cull8_ref, tmax_ref,
 
 def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
           with_row: bool, row_from_lane: int = 0, interpret: bool = False,
-          with_stats: bool = False):
+          with_stats: bool = False, tune: TuneConfig = DEFAULT_TUNE):
     """Two-level sweep: cull clusters per ray tile, then loop survivors.
 
     with_stats=True appends a (T, 3) float32 array to the return tuple:
@@ -672,6 +642,7 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
     (tooling only; see tools/stats_spheres.py)."""
     from .cluster_cull import tile_cluster_worklist
 
+    m_tile2 = tune.m_tile2
     rox, roy, roz = ro
     rdx, rdy, rdz = rd
     R = rox.shape[0]
@@ -681,7 +652,7 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
     t_max = jnp.where(active, t_max, 0.0)
 
-    r_pad = (-R) % M_TILE2
+    r_pad = (-R) % m_tile2
     if r_pad:
         rox, roy, roz, rdx, rdy, rdz, t_max = (
             jnp.pad(x, (0, r_pad))
@@ -695,8 +666,8 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
     c = featk3.shape[2] // 4
 
     first_row_tile = 0
-    if with_row and row_from_lane and row_from_lane % M_TILE2 == 0:
-        first_row_tile = row_from_lane // M_TILE2
+    if with_row and row_from_lane and row_from_lane % m_tile2 == 0:
+        first_row_tile = row_from_lane // m_tile2
 
     # --- Coherence sort (the wavefront reorder). Tile-granular cone culling
     # is useless on incoherent bounce rays (measured on `spheres`: 2009/2009
@@ -726,35 +697,35 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
     key = jnp.zeros((rp,), jnp.int32)
     octant = jnp.zeros((rp,), jnp.int32)
     for a, (o_c, d_c) in enumerate(((rox, rdx), (roy, rdy), (roz, rdz))):
-        if KEY_MODE == "obox":
+        if tune.key_mode == "obox":
             o_lo = jnp.min(jnp.where(lane_live, o_c, jnp.float32(3e38)))
             o_ext = jnp.maximum(
                 jnp.max(jnp.where(lane_live, o_c, jnp.float32(-3e38)))
                 - o_lo, 1e-20)
         else:
             o_lo, o_ext = smin[a], sext[a]
-        cl = 1 << CELL_BITS
+        cl = 1 << tune.cell_bits
         q = jnp.clip(((o_c - o_lo) / o_ext * cl)
                      .astype(jnp.int32), 0, cl - 1)
         key = key * cl + q
-        if DIR_BITS == 1:
+        if tune.dir_bits == 1:
             octant = octant * 2 + (d_c < 0.0).astype(jnp.int32)
         else:
             # Finer direction bins: quantize the NORMALIZED component to
-            # 2^DIR_BITS levels — subtile cones shrink from 90-degree
-            # octants toward ~90/2^(DIR_BITS-1) degrees, cutting bounce-tile
+            # 2^dir_bits levels — subtile cones shrink from 90-degree
+            # octants toward ~90/2^(dir_bits-1) degrees, cutting bounce-tile
             # worklists (A/B: tools/ab_spheres.py dir).
             dl_all = jnp.sqrt(rdx * rdx + rdy * rdy + rdz * rdz)
             dn = d_c / jnp.maximum(dl_all, 1e-20)
-            lv = 1 << DIR_BITS
+            lv = 1 << tune.dir_bits
             qd = jnp.clip(((dn + 1.0) * (0.5 * lv)).astype(jnp.int32),
                           0, lv - 1)
             octant = octant * lv + qd
-    dir_span = 1 << (3 * DIR_BITS)
-    cell_span = 1 << (3 * CELL_BITS)
+    dir_span = 1 << (3 * tune.dir_bits)
+    cell_span = 1 << (3 * tune.cell_bits)
     key = octant * cell_span + key
     key = jnp.where(t_max > 0.0, key, jnp.int32(cell_span * dir_span))
-    seg_start = first_row_tile * M_TILE2
+    seg_start = first_row_tile * m_tile2
     seg = (jnp.arange(rp, dtype=jnp.int32) >= seg_start).astype(jnp.int32)
     perm = jnp.argsort(key + seg * jnp.int32(2 * cell_span * dir_span))
     # Inverse permutation by scatter (one pass) instead of a second argsort.
@@ -773,7 +744,7 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
     rayk3 = jnp.concatenate([rh, rl, rh, zpad], axis=0)  # (K3, rp)
 
     order, keys, counts = tile_cluster_worklist(rayfT, t_max, sph_flat,
-                                                M_TILE2)
+                                                m_tile2, sub=tune.subtile)
     # Cull operands, VREG-TILED (see _kernel2 docstring): per tile a
     # (9 * n_sub, 128) block of [dx, dy, dz, ox, oy, oz, dlen, wcap, tmax]
     # where wcap is the world-unit scene-slab reach cap — a lane that exits
@@ -782,7 +753,7 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
     # for their whole tile. (Box, not bounding sphere: a giant ground object
     # makes the sphere so fat sky-going rays never exit it — measured on
     # `spheres`.)
-    n_sub = M_TILE2 // 128
+    n_sub = m_tile2 // 128
     dlen = jnp.sqrt(rdx * rdx + rdy * rdy + rdz * rdz)
     s_hi = smin + sext
     t_exit = None
@@ -798,7 +769,7 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
         t_enter = lo_ if t_enter is None else jnp.maximum(t_enter, lo_)
     hit_box = (t_enter <= t_exit) & (t_exit > 0.0)
     wcap = jnp.where(hit_box, t_exit, 0.0) * dlen
-    n_ray_tiles = rp // M_TILE2
+    n_ray_tiles = rp // m_tile2
     cull8 = jnp.stack([rdx, rdy, rdz, rox, roy, roz, dlen, wcap, t_max],
                       axis=0)                              # (9, rp)
     cull8 = cull8.reshape(9, n_ray_tiles, n_sub, 128) \
@@ -815,8 +786,8 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
         jnp.asarray([first_row_tile], jnp.int32), counts])
 
     out_specs = [
-        pl.BlockSpec((1, M_TILE2), lambda i, v: (0, i)),
-        pl.BlockSpec((1, M_TILE2), lambda i, v: (0, i)),
+        pl.BlockSpec((1, m_tile2), lambda i, v: (0, i)),
+        pl.BlockSpec((1, m_tile2), lambda i, v: (0, i)),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((1, rp), jnp.float32),
@@ -825,7 +796,7 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
     if with_row:
         # SHADE_KP rows: 0:SHADE_K = winner shade rows, SHADE_K / SHADE_K+1
         # mirror t / idx so ONE row-major gather un-permutes everything.
-        out_specs.append(pl.BlockSpec((SHADE_KP, M_TILE2),
+        out_specs.append(pl.BlockSpec((SHADE_KP, m_tile2),
                                       lambda i, v: (0, i)))
         out_shape.append(jax.ShapeDtypeStruct((SHADE_KP, rp), jnp.float32))
     if with_stats:
@@ -841,9 +812,9 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, order.shape[2]), lambda i, v: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((FEAT_K3, M_TILE2), lambda i, v: (0, i)),
+            pl.BlockSpec((FEAT_K3, m_tile2), lambda i, v: (0, i)),
             pl.BlockSpec((9 * n_sub, 128), lambda i, v: (i, 0)),
-            pl.BlockSpec((1, M_TILE2), lambda i, v: (0, i)),
+            pl.BlockSpec((1, m_tile2), lambda i, v: (0, i)),
             # cluster-sphere table, resident in VMEM
             pl.BlockSpec((n_clusters, 128), lambda i, v: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),   # featk3 (HBM)
@@ -851,23 +822,23 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((PREFETCH_DEPTH // PROC_BATCH, FEAT_K3,
-                        PROC_BATCH * 4 * c), jnp.bfloat16),
-            pltpu.VMEM((PREFETCH_DEPTH // PROC_BATCH, SHADE_KP,
-                        PROC_BATCH * 3 * c), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((PREFETCH_DEPTH,)),
-            pltpu.SemaphoreType.DMA((PREFETCH_DEPTH,)),
+            pltpu.VMEM((tune.prefetch_depth // tune.proc_batch, FEAT_K3,
+                        tune.proc_batch * 4 * c), jnp.bfloat16),
+            pltpu.VMEM((tune.prefetch_depth // tune.proc_batch, SHADE_KP,
+                        tune.proc_batch * 3 * c), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((tune.prefetch_depth,)),
+            pltpu.SemaphoreType.DMA((tune.prefetch_depth,)),
             pltpu.VMEM((n_sub, 128), jnp.float32),   # open8
             pltpu.SMEM((1,), jnp.float32),           # maxt_s
-            pltpu.SMEM((PREFETCH_DEPTH,), jnp.int32),  # queued worklist idx
+            pltpu.SMEM((tune.prefetch_depth,), jnp.int32),  # queued idx
         ],
     )
 
     outs = pl.pallas_call(
         functools.partial(_kernel2, t_min=t_min, any_hit=any_hit,
                           with_row=with_row, c_tile=c,
-                          with_stats=with_stats, debug=_DEBUG2,
-                          depth=PREFETCH_DEPTH, batch=PROC_BATCH),
+                          with_stats=with_stats, debug=tune.debug2,
+                          depth=tune.prefetch_depth, batch=tune.proc_batch),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -903,17 +874,19 @@ def _v3_of(arr):
     return (arr[:, 0], arr[:, 1], arr[:, 2])
 
 
-def pallas_closest(wt: WorldTris, ro, rd, t_min=1e-3, t_max=T_MAX, active=None):
+def pallas_closest(wt: WorldTris, ro, rd, t_min=1e-3, t_max=T_MAX,
+                   active=None, tune: TuneConfig = DEFAULT_TUNE):
     ro, rd = _v3_of(ro), _v3_of(rd)
     if active is None:
         active = jnp.ones(ro[0].shape[0], bool)
     return _run(wt, ro, rd, t_max, active, float(t_min), any_hit=False,
-                with_row=False)
+                with_row=False, tune=tune)
 
 
 def pallas_closest_with_row(wt: WorldTris, ro, rd, t_min=1e-3, t_max=T_MAX,
                             active=None, row_from_lane: int = 0,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            tune: TuneConfig = DEFAULT_TUNE):
     """Closest hit + fused shade-row fetch: (t, idx, rowT).
 
     row_from_lane: lanes below this index skip the row fetch, and the
@@ -925,15 +898,16 @@ def pallas_closest_with_row(wt: WorldTris, ro, rd, t_min=1e-3, t_max=T_MAX,
         active = jnp.ones(ro[0].shape[0], bool)
     return _run(wt, ro, rd, t_max, active, float(t_min), any_hit=False,
                 with_row=True, row_from_lane=row_from_lane,
-                interpret=interpret)
+                interpret=interpret, tune=tune)
 
 
-def pallas_shadow(wt: WorldTris, ro, rd, t_max, t_min=1e-3, active=None):
+def pallas_shadow(wt: WorldTris, ro, rd, t_max, t_min=1e-3, active=None,
+                  tune: TuneConfig = DEFAULT_TUNE):
     ro, rd = _v3_of(ro), _v3_of(rd)
     if active is None:
         active = jnp.ones(ro[0].shape[0], bool)
     return _run(wt, ro, rd, t_max, active, float(t_min), any_hit=True,
-                with_row=False)
+                with_row=False, tune=tune)
 
 
 # ---------------------------------------------------------------------------

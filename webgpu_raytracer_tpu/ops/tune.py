@@ -1,0 +1,69 @@
+"""Frozen tuning parameters for the dense TPU tracer.
+
+Every measured A/B knob of the hot path lives here as a field of one
+hashable, immutable ``TuneConfig``. The config is threaded EXPLICITLY from
+the public tracer entry points (ops.dense_trace.trace_pixels_dense, the
+pallas_dense wrappers, render.renderer.render_step) down to the kernels, so:
+
+- jit caches key on it visibly (it rides static closures / static_argnames,
+  never module globals read at trace time);
+- tools and tests construct their own ``TuneConfig`` instead of
+  monkeypatching ``ops.pallas_dense`` / ``ops.dense_trace`` attributes.
+
+Defaults are the measured optima on TPU v5e (see tools/README.md for the
+sweeps that chose them). The field comments say what each knob trades.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+
+class TuneConfig(NamedTuple):
+    # --- two-level culled sweep (ops/pallas_dense._run2) -------------------
+    # Coherence-sort key origin-cell frame: "obox" = live ray-origin bbox,
+    # "sbox" = cluster-geometry bbox. Ray-origin cells cut bounce survivor
+    # work 1.5-2.9x on `spheres` (a giant ground object blows the geometry
+    # bbox so all origins land in 1-2 cells).
+    key_mode: str = "obox"
+    # Direction-bin granularity of the coherence-sort key: 1 = sign octants
+    # (8 bins), n = n bits per normalized component (8^n bins).
+    dir_bits: int = 1
+    # Origin-cell bits per axis of the coherence-sort key (2..5 span ~3%
+    # on spheres 512^2 d8; 5 marginally best).
+    cell_bits: int = 5
+    # Cone-cull granularity (lanes) of the broad phase; tiles OR-reduce
+    # their subtile cones (32-lane subcones cut tile survivors ~3x).
+    subtile: int = 32
+    # Rays per kernel tile of the two-level sweep (worklist granularity).
+    m_tile2: int = 1024
+    # Survivor-DMA prefetch depth: the scan (cull + DMA-start) runs up to
+    # this many clusters ahead of processing (hides ~1.6 us HBM latency).
+    prefetch_depth: int = 4
+    # Survivors intersected per stacked matmul (pipeline-fill amortization).
+    # Must divide prefetch_depth.
+    proc_batch: int = 2
+    # Measurement-only kernel ablations ("" = off; "noproc" = cull+DMA only;
+    # "nocull" = process every reachable survivor). tools/debug_spheres.py.
+    debug2: str = ""
+
+    # --- bounce loop (ops/dense_trace) --------------------------------------
+    # Tail-compaction schedule ((depth, div), ...): from bounce `depth`
+    # onward live lanes run in a static ceil(R/div) buffer. Depths ascend;
+    # budgets are relative to the ORIGINAL R.
+    tail_stages: Tuple[Tuple[int, int], ...] = ((5, 16),)
+    # Round tail budgets up to kernel-tile-friendly multiples.
+    tail_align: int = 2048
+    # No tail compaction below this lane count (small frames are
+    # launch-bound; compaction overhead loses).
+    tail_min_r: int = 100000
+    # Strip-mining: lanes per band at large R (1080p optimum: ~138k).
+    band_target: int = 140000
+    # Frames at or below this lane count run unbanded.
+    band_min_r: int = 1 << 19
+    # "auto": COLUMN bands for landscape frames (dead periphery collapses
+    # into all-dead bands), row bands otherwise; "rows"/"cols" force.
+    band_axis: str = "auto"
+
+
+DEFAULT_TUNE = TuneConfig()

@@ -22,6 +22,7 @@ from ..models.bridge import WorldBridge
 from ..ops.api import choose_backend, get_tracer
 from ..ops.postprocess import postprocess
 from ..ops.trace import accumulate
+from ..ops.tune import DEFAULT_TUNE, TuneConfig
 from ..utils.halton import JitterAccumulator, frame_jitter
 from .resources import DeviceScene, build_device_scene
 from .worldtris import build_world_tris
@@ -30,12 +31,13 @@ from .worldtris import build_world_tris
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "backend",
-                     "use_gbuffer"),
+                     "use_gbuffer", "tune"),
     donate_argnames=("accum",),
 )
 def render_step(scene, camera, frame_count, jitter, accum, *,
                 width: int, height: int, spp: int, max_depth: int,
-                backend: str = "bvh", use_gbuffer: bool = False):
+                backend: str = "bvh", use_gbuffer: bool = False,
+                tune: TuneConfig = DEFAULT_TUNE):
     """One progressive frame: trace + accumulate (WebGPURenderer.compute).
 
     use_gbuffer=True (dense backend): rasterizer-pass analogue — render the
@@ -48,14 +50,14 @@ def render_step(scene, camera, frame_count, jitter, accum, *,
     Returns (accum, rays): `rays` is the EXACT device-side count of rays
     traced this frame (incl. the G-buffer's own primary cast when seeding) —
     the measured Mrays/s numerator for the stats line."""
-    kwargs = {}
+    kwargs = {"tune": tune} if backend == "dense" else {}
     gb_rays = 0.0
     if use_gbuffer and backend == "dense":
         from ..ops.gbuffer import render_gbuffer
 
         wt, textures = scene
         gb = render_gbuffer(wt, textures, camera, width, height,
-                            jitter=jitter)
+                            jitter=jitter, tune=tune)
         kwargs["seed_wt_idx"] = gb.wt_idx.reshape(-1)
         gb_rays = float(width * height)  # the G-buffer's primary cast
     col, rays = get_tracer(backend)(scene, camera, frame_count, jitter, width,
@@ -82,12 +84,14 @@ class Renderer:
         obj_source: Optional[str] = None,
         glb_data: Optional[bytes] = None,
         config: Optional[RenderConfig] = None,
+        tune: TuneConfig = DEFAULT_TUNE,
     ):
         if config is None:
             config = RenderConfig(scene_name=scene_name)
         elif scene_name != "cornell":
             config.scene_name = scene_name
         self.config = config
+        self.tune = tune  # frozen dense-tracer tuning (static jit key)
         scene_name = self.config.scene_name
         self.width = self.config.width
         self.height = self.config.height
@@ -218,6 +222,7 @@ class Renderer:
             max_depth=self.max_depth,
             backend=self.backend,
             use_gbuffer=use_gbuffer and self.backend == "dense",
+            tune=self.tune,
         )
         return self.accum
 
