@@ -247,3 +247,95 @@ def test_http_admin_page(coord):
         assert resp.headers["Content-Type"].startswith("text/html")
         body = resp.read().decode()
     assert "/admin/api/status" in body and "kick" in body
+
+
+def test_slow_reader_does_not_block_fsm():
+    """A worker that stops reading (congested link) must not stall the
+    coordinator: scene broadcast and admin status return immediately (the
+    multi-MB payload drains on the worker's sender thread, not under the
+    FSM lock), a healthy worker completes the render meanwhile, and the
+    stuck worker trips the send timeout and goes lost (the reference
+    explicitly backpressures its bulk path, RtcClient.ts:201-232)."""
+    import socket
+
+    c = Coordinator(secret="s3cret", grace_period_s=0.5, send_timeout_s=1.5)
+    try:
+        # Raw protocol-speaking socket with a tiny receive buffer that
+        # handshakes and then never reads again.
+        s = socket.socket()
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 4096)
+        s.connect(("127.0.0.1", c.port))
+        P.send_message(s, P.Message(P.HELLO, {"token": "s3cret",
+                                              "has_scene": False}))
+        assert P.recv_message(s).type == P.WELCOME
+
+        payload = bytes(64 << 20)  # 64 MB scene: cannot fit kernel buffers
+        t0 = time.perf_counter()
+        c.set_scene(RenderConfig(), "cornell", payload=payload)
+        assert time.perf_counter() - t0 < 0.5  # enqueue only, no write
+        t0 = time.perf_counter()
+        c.admin_status()
+        assert time.perf_counter() - t0 < 0.5
+
+        # A healthy worker joins and completes the whole render while the
+        # slow one is still wedged in its sender thread.
+        w = make_worker(c)
+        run_worker(w)
+        time.sleep(0.3)
+        c.start_render(total_frames=8, job_batch=4)
+        assert c.wait(15.0), c.admin_status()
+        assert len(c.collect_frames()) == 8
+
+        # The wedged connection times out and is marked lost.
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            st = c.admin_status()["workers"]
+            slow = [x for x in st if x["id"] != w.worker_id]
+            if slow and slow[0]["status"] == "lost":
+                break
+            time.sleep(0.1)
+        else:
+            raise AssertionError(c.admin_status())
+        s.close()
+    finally:
+        c.close()
+
+
+def test_farm_end_to_end_with_real_renderer():
+    """Full-stack farm: Coordinator + WorkerClient with the REAL Renderer
+    (_default_renderer_factory) and VideoRecorder at 16x16/spp 1/depth 2,
+    2 workers, 4 frames. The collected PNGs must decode and match a solo
+    record_chunks run byte-for-byte (per-frame accumulation reset + the
+    deterministic counter RNG make frames independent of job splitting)."""
+    import io
+    from PIL import Image
+
+    from webgpu_raytracer_tpu.parallel.cluster import _default_renderer_factory
+    from webgpu_raytracer_tpu.render.recorder import VideoRecorder
+
+    config = RenderConfig(width=16, height=16, max_depth=2, shader_spp=1,
+                          spp=1, fps=4, duration=1.0)
+
+    # Solo reference run (also warms the process-wide jit cache).
+    solo = VideoRecorder(_default_renderer_factory(
+        config, "cornell", None, b"")).record_chunks(config, 0, 4)
+    assert len(solo) == 4
+
+    c = Coordinator(secret="s3cret", grace_period_s=0.5)
+    try:
+        c.set_scene(config, "cornell")
+        workers = [WorkerClient("127.0.0.1", c.port, secret="s3cret")
+                   for _ in range(2)]
+        threads = [run_worker(w) for w in workers]
+        c.start_render(total_frames=4, job_batch=2)
+        assert c.wait(300.0), c.admin_status()
+        frames = c.collect_frames()
+        assert [f.frame_index for f in frames] == [0, 1, 2, 3]
+        for f, ref in zip(frames, solo):
+            img = np.asarray(Image.open(io.BytesIO(f.data)))
+            assert img.shape == (16, 16, 3)
+            assert f.data == ref.data, f.frame_index
+        for w in workers:
+            w.close()
+    finally:
+        c.close()

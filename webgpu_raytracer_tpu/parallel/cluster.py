@@ -26,6 +26,7 @@ abortable execution; buffered-result retry on reconnect.
 from __future__ import annotations
 
 import hmac
+import queue
 import secrets
 import socket
 import threading
@@ -40,6 +41,11 @@ from .protocol import Message
 
 GRACE_PERIOD_S = 30.0
 LOG_RING = 100
+SEND_TIMEOUT_S = 60.0  # per-socket write timeout (slow/congested worker)
+OUTBOX_MAX = 64        # queued messages per worker before backpressure trips
+
+# Outbox sentinel: the sender thread closes the socket and exits.
+_CLOSE = object()
 
 # Admin console page (reference signaling-server/admin.html): live status,
 # worker table with kick buttons, log tail; polls /admin/api/status at 2 s.
@@ -102,15 +108,23 @@ class WorkerState:
     job: Optional[Job] = None
     lost_at: Optional[float] = None
     has_scene: bool = False
+    # Per-connection outbox drained by a dedicated sender thread: ALL
+    # coordinator->worker writes (incl. multi-MB scene payloads) happen
+    # outside the FSM lock, so one slow/congested worker never stalls
+    # assignment, status, or the admin API (the reference's bulk path
+    # likewise yields/backpressures, RtcClient.ts:201-232).
+    outbox: Optional["queue.Queue"] = None
 
 
 class Coordinator:
     """Render-farm host: owns the job queue and collects results."""
 
     def __init__(self, secret: str = "", host: str = "127.0.0.1",
-                 port: int = 0, grace_period_s: float = GRACE_PERIOD_S):
+                 port: int = 0, grace_period_s: float = GRACE_PERIOD_S,
+                 send_timeout_s: float = SEND_TIMEOUT_S):
         self.secret = secret
         self.grace_period_s = grace_period_s
+        self.send_timeout_s = send_timeout_s
         self._lock = threading.RLock()
         self._workers: Dict[int, WorkerState] = {}
         self._sessions: Dict[str, WorkerState] = {}
@@ -206,21 +220,15 @@ class Coordinator:
         with self._lock:
             w = self._workers.get(worker_id)
             if w and w.sock:
-                try:
-                    P.send_message(w.sock, Message(P.KICK, {}))
-                    w.sock.close()
-                except OSError:
-                    pass
+                self._send(w, Message(P.KICK, {}))
+                self._send(w, _CLOSE)  # sender closes after the KICK drains
 
     def stop_render(self):
         with self._lock:
             self._queue.clear()
             for w in self._workers.values():
                 if w.sock:
-                    try:
-                        P.send_message(w.sock, Message(P.STOP_RENDER, {}))
-                    except OSError:
-                        pass
+                    self._send(w, Message(P.STOP_RENDER, {}))
 
     def start_admin(self, host: str = "127.0.0.1", port: int = 0,
                     username: str = "admin", password: str = "") -> int:
@@ -362,7 +370,9 @@ class Coordinator:
             w.sock = sock
             w.lost_at = None
             w.has_scene = bool(msg.body.get("has_scene", False))
-            P.send_message(sock, Message(P.WELCOME, {
+            self._attach_sender(w, sock)
+            this_outbox = w.outbox  # this connection's queue (for cleanup)
+            self._send(w, Message(P.WELCOME, {
                 "worker_id": w.worker_id,
                 "session_id": w.session_id,
                 "session_token": w.session_token,
@@ -392,24 +402,89 @@ class Coordinator:
                     w.lost_at = time.monotonic()
                     self.log(f"worker {w.worker_id} lost"
                              + (f" (job {w.job.start})" if w.job else ""))
+            try:  # release THIS connection's sender thread (it may be
+                # blocked on q.get; a resumed connection has its own queue).
+                # A full queue means the sender is alive and draining, so a
+                # short blocking put always lands; if the sender already
+                # exited via _send_failed there is no thread to release.
+                this_outbox.put(_CLOSE, timeout=1.0)
+            except queue.Full:
+                pass
             try:
                 sock.close()
             except OSError:
                 pass
 
-    def _send_scene(self, w: WorkerState):
-        w.status = "loading"
+    # -- outbound path (per-worker sender threads) ----------------------------
+
+    def _attach_sender(self, w: WorkerState, sock: socket.socket):
+        """One sender thread + bounded outbox per connection. Caller holds
+        the lock; every enqueued message is sent in order by the thread."""
+        sock.settimeout(self.send_timeout_s)
+        w.outbox = queue.Queue(maxsize=OUTBOX_MAX)
+        threading.Thread(target=self._sender_loop, args=(w, sock, w.outbox),
+                         daemon=True).start()
+
+    def _sender_loop(self, w: WorkerState, sock: socket.socket,
+                     q: "queue.Queue"):
+        while True:
+            msg = q.get()
+            if msg is _CLOSE or w.sock is not sock:
+                try:
+                    sock.close()
+                except OSError:
+                    pass
+                return
+            try:
+                P.send_message(sock, msg)
+            except (OSError, ValueError):
+                # write failure or timeout: drop the connection; requeue the
+                # in-flight job immediately (DistributedHost.ts:132-139).
+                self._send_failed(w, sock)
+                return
+
+    def _send(self, w: WorkerState, msg) -> bool:
+        """Enqueue a message for w's sender thread. Never blocks: a full
+        outbox means the worker is not draining (backpressure) and is
+        treated as a send failure."""
+        q = w.outbox
+        if w.sock is None or q is None:
+            return False
         try:
-            P.send_message(w.sock, Message(P.SCENE, dict(self._scene)),)
-        except OSError:
+            q.put_nowait(msg)
+            return True
+        except queue.Full:
+            self._send_failed(w, w.sock)
+            return False
+
+    def _send_failed(self, w: WorkerState, sock):
+        if self._stop:
             return
-        try:
-            # bulk payload follows as its own frame for very large scenes
-            P.send_message(w.sock, Message(
+        with self._lock:
+            if w.sock is not sock:
+                return
+            try:
+                sock.close()  # unblocks the recv loop -> marks it lost
+            except OSError:
+                pass
+            self.log(f"send to worker {w.worker_id} failed"
+                     + (f" (job {w.job.start} requeued)" if w.job else ""))
+            if w.job is not None and w.job.start not in self._results:
+                self._queue.appendleft(w.job)
+            w.job = None
+            w.status = "lost"
+            w.lost_at = time.monotonic()
+            self._assign_all()
+
+    def _send_scene(self, w: WorkerState):
+        """Enqueue the scene broadcast (metadata frame + bulk payload frame).
+        The multi-MB payload is written by the worker's sender thread, NOT
+        under the FSM lock."""
+        w.status = "loading"
+        if self._send(w, Message(P.SCENE, dict(self._scene))):
+            self._send(w, Message(
                 "scene_payload", {"total_bytes": len(self._scene_payload)},
                 self._scene_payload))
-        except OSError:
-            pass
 
     def _handle(self, w: WorkerState, m: Message):
         with self._lock:
@@ -439,10 +514,7 @@ class Coordinator:
                     self._done.set()
                 self._assign_all()
             elif m.type == P.PING:
-                try:
-                    P.send_message(w.sock, Message(P.PONG, {}))
-                except OSError:
-                    pass
+                self._send(w, Message(P.PONG, {}))
 
     def _assign_all(self):
         for w in self._workers.values():
@@ -451,13 +523,11 @@ class Coordinator:
                 job = self._queue.popleft()
                 w.job = job
                 w.status = "busy"
-                try:
-                    P.send_message(w.sock, Message(P.RENDER_REQUEST, {
-                        "start": job.start, "count": job.count,
-                    }))
+                if self._send(w, Message(P.RENDER_REQUEST, {
+                        "start": job.start, "count": job.count})):
                     self.log(f"job {job.start} -> worker {w.worker_id}")
-                except OSError:
-                    # send failure: requeue (DistributedHost.ts:132-139)
+                elif w.job is job:
+                    # enqueue failed and _send_failed didn't requeue it
                     self._queue.appendleft(job)
                     w.job = None
                     w.status = "lost"
