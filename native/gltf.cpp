@@ -33,6 +33,15 @@ struct Accessor {
   bool normalized = false;
   size_t count = 0;
   int n_components = 1;  // SCALAR=1, VEC2=2, VEC3=3, VEC4=4, MAT4=16
+  // Sparse substitution (exporters emit these for morph-target deltas and
+  // compact position overrides): `sparse.count` indices into this accessor
+  // whose values are replaced from a second buffer view.
+  size_t sparse_count = 0;
+  int sparse_idx_bv = -1;
+  size_t sparse_idx_off = 0;
+  int sparse_idx_ct = 5125;
+  int sparse_val_bv = -1;
+  size_t sparse_val_off = 0;
 };
 
 int components_of(const std::string& type) {
@@ -84,18 +93,102 @@ class Gltf {
       acc.normalized = a["normalized"].boolean(false);
       acc.count = (size_t)a["count"].as_int(0);
       acc.n_components = components_of(a["type"].str());
+      if (a.has("sparse")) {
+        const Value& sp = a["sparse"];
+        acc.sparse_count = (size_t)sp["count"].as_int(0);
+        acc.sparse_idx_bv = (int)sp["indices"]["bufferView"].as_int(-1);
+        acc.sparse_idx_off = (size_t)sp["indices"]["byteOffset"].as_int(0);
+        acc.sparse_idx_ct = (int)sp["indices"]["componentType"].as_int(5125);
+        acc.sparse_val_bv = (int)sp["values"]["bufferView"].as_int(-1);
+        acc.sparse_val_off = (size_t)sp["values"]["byteOffset"].as_int(0);
+      }
       accessors.push_back(acc);
     }
     return true;
   }
 
-  // Reads accessor `idx` as floats (normalized integer conversion applied).
+  // One component as float (normalized integer conversion applied).
+  float decode_f32(const uint8_t* ptr, int ct, bool normalized) const {
+    float f = 0.f;
+    switch (ct) {
+      case 5126: std::memcpy(&f, ptr, 4); break;
+      case 5121: {
+        uint8_t v = *ptr;
+        f = normalized ? v / 255.f : (float)v;
+        break;
+      }
+      case 5120: {
+        int8_t v;
+        std::memcpy(&v, ptr, 1);
+        f = normalized ? std::max(v / 127.f, -1.f) : (float)v;
+        break;
+      }
+      case 5123: {
+        uint16_t v;
+        std::memcpy(&v, ptr, 2);
+        f = normalized ? v / 65535.f : (float)v;
+        break;
+      }
+      case 5122: {
+        int16_t v;
+        std::memcpy(&v, ptr, 2);
+        f = normalized ? std::max(v / 32767.f, -1.f) : (float)v;
+        break;
+      }
+      case 5125: {
+        uint32_t v;
+        std::memcpy(&v, ptr, 4);
+        f = (float)v;
+        break;
+      }
+    }
+    return f;
+  }
+
+  // Sparse substitution (glTF 2.0 accessor.sparse): replace `sparse_count`
+  // elements of the base array (which may be a zero-filled bufferView-less
+  // base) with values from the sparse values view.
+  void apply_sparse_f32(const Accessor& a, std::vector<float>* out) const {
+    if (!a.sparse_count || a.sparse_idx_bv < 0 || a.sparse_val_bv < 0 ||
+        (size_t)a.sparse_idx_bv >= views.size() ||
+        (size_t)a.sparse_val_bv >= views.size())
+      return;
+    const BufferView& ibv = views[a.sparse_idx_bv];
+    const BufferView& vbv = views[a.sparse_val_bv];
+    size_t isz = component_size(a.sparse_idx_ct);
+    size_t vsz = component_size(a.component_type);
+    size_t elem = vsz * a.n_components;
+    for (size_t k = 0; k < a.sparse_count; ++k) {
+      size_t ibase = ibv.offset + a.sparse_idx_off + k * isz;
+      size_t vbase = vbv.offset + a.sparse_val_off + k * elem;
+      if (ibase + isz > bin_len || vbase + elem > bin_len) break;
+      uint32_t tgt = 0;
+      if (isz == 1) tgt = bin[ibase];
+      else if (isz == 2) {
+        uint16_t h;
+        std::memcpy(&h, bin + ibase, 2);
+        tgt = h;
+      } else {
+        std::memcpy(&tgt, bin + ibase, 4);
+      }
+      if ((size_t)tgt >= a.count) continue;
+      for (int c = 0; c < a.n_components; ++c) {
+        (*out)[tgt * a.n_components + c] =
+            decode_f32(bin + vbase + c * vsz, a.component_type, a.normalized);
+      }
+    }
+  }
+
+  // Reads accessor `idx` as floats (normalized integer conversion applied;
+  // sparse substitution applied; a bufferView-less accessor is the spec's
+  // zero-filled base).
   std::vector<float> read_f32(int idx) const {
     std::vector<float> out;
     if (idx < 0 || (size_t)idx >= accessors.size()) return out;
     const Accessor& a = accessors[idx];
     if (a.buffer_view < 0 || (size_t)a.buffer_view >= views.size()) {
-      out.assign(a.count * a.n_components, 0.f);  // sparse-default zeros
+      out.assign(a.count * a.n_components, 0.f);
+      apply_sparse_f32(a, &out);
       return out;
     }
     const BufferView& bv = views[a.buffer_view];
@@ -146,6 +239,7 @@ class Gltf {
         out.push_back(f);
       }
     }
+    apply_sparse_f32(a, &out);
     return out;
   }
 
@@ -259,6 +353,31 @@ void node_trs(const Value& n, Vec3* t, Quat* r, Vec3* s) {
   }
 }
 
+std::vector<uint8_t> decode_base64(const char* b, size_t n) {
+  auto val = [](char c) -> int {
+    if (c >= 'A' && c <= 'Z') return c - 'A';
+    if (c >= 'a' && c <= 'z') return c - 'a' + 26;
+    if (c >= '0' && c <= '9') return c - '0' + 52;
+    if (c == '+') return 62;
+    if (c == '/') return 63;
+    return -1;
+  };
+  std::vector<uint8_t> out;
+  out.reserve(n / 4 * 3);
+  int acc = 0, bits = 0;
+  for (size_t i = 0; i < n; ++i) {
+    int v = val(b[i]);
+    if (v < 0) continue;  // skip '=', whitespace
+    acc = (acc << 6) | v;
+    bits += 6;
+    if (bits >= 8) {
+      bits -= 8;
+      out.push_back((uint8_t)((acc >> bits) & 0xFF));
+    }
+  }
+  return out;
+}
+
 }  // namespace
 
 bool load_gltf(std::vector<Geometry>& geometries,
@@ -310,12 +429,24 @@ bool load_gltf(std::vector<Geometry>& geometries,
     int img = (int)doc["textures"][ti]["source"].as_int(-1);
     std::vector<uint8_t> bytes;
     if (img >= 0 && (size_t)img < doc["images"].size()) {
-      int bv = (int)doc["images"][img]["bufferView"].as_int(-1);
+      const Value& image = doc["images"][img];
+      int bv = (int)image["bufferView"].as_int(-1);
       if (bv >= 0 && (size_t)bv < g.views.size()) {
         const BufferView& view = g.views[bv];
         if (view.offset + view.length <= bin_len) {
           bytes.assign(bin_data + view.offset,
                        bin_data + view.offset + view.length);
+        }
+      } else if (image["uri"].is_string()) {
+        // Exporters may embed images as base64 data: URIs instead of
+        // buffer views; external-file URIs are not resolvable from a
+        // byte-stream load and yield the 1x1 fallback texture downstream.
+        const std::string& uri = image["uri"].str();
+        size_t comma = uri.find(',');
+        if (uri.rfind("data:", 0) == 0 && comma != std::string::npos &&
+            uri.find(";base64", 0) != std::string::npos) {
+          bytes = decode_base64(uri.data() + comma + 1,
+                                uri.size() - comma - 1);
         }
       }
     }
@@ -370,6 +501,12 @@ bool load_gltf(std::vector<Geometry>& geometries,
     for (size_t pi = 0; pi < mesh["primitives"].size(); ++pi) {
       const Value& prim = mesh["primitives"][pi];
       const Value& attrs = prim["attributes"];
+      // Unknown attributes (TANGENT, COLOR_n, TEXCOORD_n>0, custom
+      // underscore-prefixed) are ignored by construction: only the five
+      // semantics below are read.
+
+      int mode = (int)prim["mode"].as_int(4);
+      if (mode < 4 || mode > 6) continue;  // points/lines: nothing to trace
 
       std::vector<float> pos = g.read_f32((int)attrs["POSITION"].as_int(-1));
       size_t vcount = pos.size() / 3;
@@ -383,9 +520,54 @@ bool load_gltf(std::vector<Geometry>& geometries,
           g.read_f32((int)attrs["WEIGHTS_0"].as_int(-1));
 
       std::vector<uint32_t> indices = g.read_u32((int)prim["indices"].as_int(-1));
-      if (indices.empty()) {
+      if (indices.empty()) {  // non-indexed primitive (spec: consecutive)
         indices.resize(vcount);
         for (size_t i = 0; i < vcount; ++i) indices[i] = (uint32_t)i;
+      }
+      if (mode == 5) {  // TRIANGLE_STRIP -> triangle list, winding-corrected
+        std::vector<uint32_t> tri;
+        for (size_t i = 0; i + 2 < indices.size(); ++i) {
+          if (i % 2 == 0)
+            tri.insert(tri.end(),
+                       {indices[i], indices[i + 1], indices[i + 2]});
+          else
+            tri.insert(tri.end(),
+                       {indices[i + 1], indices[i], indices[i + 2]});
+        }
+        indices = std::move(tri);
+      } else if (mode == 6) {  // TRIANGLE_FAN
+        std::vector<uint32_t> tri;
+        for (size_t i = 1; i + 1 < indices.size(); ++i) {
+          tri.insert(tri.end(), {indices[0], indices[i], indices[i + 1]});
+        }
+        indices = std::move(tri);
+      }
+      if (nrm.size() < vcount * 3) {
+        // NORMAL absent: the spec says implementations MUST compute flat
+        // normals; area-weighted vertex accumulation gives flat shading on
+        // unshared vertices and smooth shading on shared ones.
+        nrm.assign(vcount * 3, 0.f);
+        for (size_t t = 0; t + 2 < indices.size(); t += 3) {
+          uint32_t i0 = indices[t], i1 = indices[t + 1], i2 = indices[t + 2];
+          if (i0 >= vcount || i1 >= vcount || i2 >= vcount) continue;
+          Vec3 p0{pos[i0 * 3], pos[i0 * 3 + 1], pos[i0 * 3 + 2]};
+          Vec3 p1{pos[i1 * 3], pos[i1 * 3 + 1], pos[i1 * 3 + 2]};
+          Vec3 p2{pos[i2 * 3], pos[i2 * 3 + 1], pos[i2 * 3 + 2]};
+          Vec3 fn = (p1 - p0).cross(p2 - p0);  // area-weighted
+          for (uint32_t vi : {i0, i1, i2}) {
+            nrm[vi * 3] += fn.x;
+            nrm[vi * 3 + 1] += fn.y;
+            nrm[vi * 3 + 2] += fn.z;
+          }
+        }
+        for (size_t k = 0; k < vcount; ++k) {
+          Vec3 n{nrm[k * 3], nrm[k * 3 + 1], nrm[k * 3 + 2]};
+          float l = n.length();
+          n = l > 1e-20f ? n / l : Vec3{0, 1, 0};
+          nrm[k * 3] = n.x;
+          nrm[k * 3 + 1] = n.y;
+          nrm[k * 3 + 2] = n.z;
+        }
       }
 
       // Material (PBR -> mat_type, loader.rs:136-176)

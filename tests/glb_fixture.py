@@ -452,3 +452,153 @@ def textured_quad_glb() -> bytes:
         }]}],
     }
     return build_glb(doc, bin_data)
+
+
+def exporter_quirks_glb() -> bytes:
+    """A GLB shaped like real exporter output (Blender/VRM toolchains),
+    exercising the loader paths a hand-tuned fixture never hits:
+
+    - prim 0: ONE interleaved vertex bufferView (pos+normal+uv, stride 32 —
+      Blender's layout) with extra TANGENT and COLOR_0 (normalized u8)
+      attributes that must be ignored
+    - prim 1: NON-INDEXED triangle list with NO NORMAL (spec: implementations
+      must compute normals)
+    - prim 2: TRIANGLE_STRIP (mode 5)
+    - prim 3: SPARSE position accessor substituting one vertex
+    - prim 4: LINES (mode 1) — must be skipped entirely
+    - image embedded as a base64 data: URI (not a bufferView)
+    """
+    import base64
+    import io
+
+    from PIL import Image
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[:, :, 0] = 255  # solid red
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    data_uri = ("data:image/png;base64,"
+                + base64.b64encode(buf.getvalue()).decode())
+
+    # prim 0: interleaved quad at z=0 (pos 12B + normal 12B + uv 8B = 32B)
+    inter = np.zeros((4, 8), np.float32)
+    inter[:, 0:3] = [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]]
+    inter[:, 3:6] = [0, 0, 1]
+    inter[:, 6:8] = [[0, 0], [1, 0], [1, 1], [0, 1]]
+    idx0 = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+    tangents = np.tile(np.array([[1, 0, 0, 1]], np.float32), (4, 1))
+    colors = np.full((4, 4), 255, np.uint8)  # COLOR_0 normalized u8
+
+    # prim 1: two non-indexed triangles (z=1 plane), no NORMAL
+    tri1 = np.array([[0, 0, 1], [1, 0, 1], [1, 1, 1],
+                     [0, 0, 1], [1, 1, 1], [0, 1, 1]], np.float32)
+
+    # prim 2: strip of 4 verts -> 2 triangles (z=2 plane)
+    strip = np.array([[0, 0, 2], [0, 1, 2], [1, 0, 2], [1, 1, 2]], np.float32)
+    strip_n = np.tile(np.array([[0, 0, 1]], np.float32), (4, 1))
+    idx2 = np.array([0, 1, 2, 3], np.uint16)
+
+    # prim 3: base triangle DEGENERATE (v2 duplicates v1); sparse replaces
+    # vertex 2 with (0.5, 1, 3) making an isoceles triangle whose edge-length
+    # RATIOS survive the viewer preset's uniform normalize+demo transform.
+    sparse_base = np.array([[0, 0, 3], [1, 0, 3], [1, 0, 3]], np.float32)
+    sparse_n = np.tile(np.array([[0, 0, 1]], np.float32), (3, 1))
+    sparse_idx = np.array([2], np.uint16)
+    sparse_val = np.array([[0.5, 1, 3]], np.float32)
+    idx3 = np.array([0, 1, 2], np.uint16)
+
+    # prim 4: LINES — 2 verts
+    lines = np.array([[0, 0, 4], [1, 1, 4]], np.float32)
+    idx4 = np.array([0, 1], np.uint16)
+
+    blobs = [inter.tobytes(), idx0.tobytes(), tangents.tobytes(),
+             colors.tobytes(), tri1.tobytes(), strip.tobytes(),
+             strip_n.tobytes(), idx2.tobytes(), sparse_base.tobytes(),
+             sparse_n.tobytes(), sparse_idx.tobytes(), sparse_val.tobytes(),
+             idx3.tobytes(), lines.tobytes(), idx4.tobytes()]
+    offsets = []
+    off = 0
+    for b in blobs:
+        offsets.append(off)
+        off += len(b) + ((4 - len(b) % 4) % 4)
+    bin_data = b"".join(b + b"\x00" * ((4 - len(b) % 4) % 4) for b in blobs)
+
+    def view(k, stride=None):
+        v = {"buffer": 0, "byteOffset": offsets[k], "byteLength": len(blobs[k])}
+        if stride:
+            v["byteStride"] = stride
+        return v
+
+    doc = {
+        "asset": {"version": "2.0", "generator": "exporter-quirks"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"name": "quirks", "mesh": 0}],
+        "buffers": [{"byteLength": len(bin_data)}],
+        "bufferViews": [
+            view(0, stride=32), view(1), view(2), view(3), view(4),
+            view(5), view(6), view(7), view(8), view(9), view(10),
+            view(11), view(12), view(13), view(14),
+        ],
+        "accessors": [
+            # 0-2: interleaved POSITION/NORMAL/TEXCOORD_0 into ONE view
+            {"bufferView": 0, "byteOffset": 0, "componentType": 5126,
+             "count": 4, "type": "VEC3"},
+            {"bufferView": 0, "byteOffset": 12, "componentType": 5126,
+             "count": 4, "type": "VEC3"},
+            {"bufferView": 0, "byteOffset": 24, "componentType": 5126,
+             "count": 4, "type": "VEC2"},
+            # 3: indices, 4: TANGENT, 5: COLOR_0 (normalized u8)
+            {"bufferView": 1, "componentType": 5123, "count": 6,
+             "type": "SCALAR"},
+            {"bufferView": 2, "componentType": 5126, "count": 4,
+             "type": "VEC4"},
+            {"bufferView": 3, "componentType": 5121, "count": 4,
+             "type": "VEC4", "normalized": True},
+            # 6: non-indexed tri positions (no normals anywhere)
+            {"bufferView": 4, "componentType": 5126, "count": 6,
+             "type": "VEC3"},
+            # 7-9: strip positions/normals/indices
+            {"bufferView": 5, "componentType": 5126, "count": 4,
+             "type": "VEC3"},
+            {"bufferView": 6, "componentType": 5126, "count": 4,
+             "type": "VEC3"},
+            {"bufferView": 7, "componentType": 5123, "count": 4,
+             "type": "SCALAR"},
+            # 10-12: sparse positions + normals + indices
+            {"bufferView": 8, "componentType": 5126, "count": 3,
+             "type": "VEC3",
+             "sparse": {"count": 1,
+                        "indices": {"bufferView": 10, "componentType": 5123},
+                        "values": {"bufferView": 11}}},
+            {"bufferView": 9, "componentType": 5126, "count": 3,
+             "type": "VEC3"},
+            {"bufferView": 12, "componentType": 5123, "count": 3,
+             "type": "SCALAR"},
+            # 13-14: lines
+            {"bufferView": 13, "componentType": 5126, "count": 2,
+             "type": "VEC3"},
+            {"bufferView": 14, "componentType": 5123, "count": 2,
+             "type": "SCALAR"},
+        ],
+        "images": [{"uri": data_uri}],
+        "textures": [{"source": 0}],
+        "materials": [{
+            "pbrMetallicRoughness": {
+                "baseColorTexture": {"index": 0},
+                "metallicFactor": 0.0,
+            },
+        }],
+        "meshes": [{"primitives": [
+            {"attributes": {"POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2,
+                            "TANGENT": 4, "COLOR_0": 5},
+             "indices": 3, "material": 0},
+            {"attributes": {"POSITION": 6}},                    # non-indexed
+            {"attributes": {"POSITION": 7, "NORMAL": 8},
+             "indices": 9, "mode": 5},                          # strip
+            {"attributes": {"POSITION": 10, "NORMAL": 11},
+             "indices": 12},                                    # sparse
+            {"attributes": {"POSITION": 13}, "indices": 14, "mode": 1},
+        ]}],
+    }
+    return build_glb(doc, bin_data)

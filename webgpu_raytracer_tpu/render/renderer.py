@@ -132,11 +132,15 @@ class Renderer:
     # -- lifecycle ---------------------------------------------------------
 
     def _world_tri_count(self) -> int:
-        import numpy as np
+        # One bincount over the topology, one gather per instance — O(T + I)
+        # (the per-geometry == scan was O(T x I) on the farm's scene-load
+        # critical path for many-instance scenes).
         topo = np.asarray(self.world.topology()).reshape(-1, 20)
         inst = np.asarray(self.world.instances()).reshape(-1, 36)
-        geoms = inst[:, 32:36].copy().view(np.uint32)[:, 2]
-        return int(sum((topo[:, 3] == g).sum() for g in geoms))
+        geoms = inst[:, 32:36].copy().view(np.uint32)[:, 2].astype(np.int64)
+        per_geom = np.bincount(topo[:, 3].astype(np.int64),
+                               minlength=int(geoms.max(initial=-1)) + 1)
+        return int(per_geom[geoms].sum())
 
     def _step_scene(self):
         if self.backend == "dense":
