@@ -18,6 +18,12 @@ if ("axon_site" in _pp or not _pp) and \
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8").strip()
+    # Persistent compilation cache (keyed on HLO hash, so code changes
+    # recompile): most of the suite's wall time is XLA compiles on the
+    # single-core CI host; repeat runs become execution-only.
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(repo_root, ".cache", "jax"))
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     argv = getattr(sys, "orig_argv", None)
     if argv:
         # restore pytest's early fd capture before replacing the process so
