@@ -187,6 +187,46 @@ void World::update(float time) {
   }
 }
 
+void World::refit_cached_blas(GeomCache& cache) {
+  // Bottom-up AABB refit over the skip-pointer pre-order layout: children
+  // appear after their parent (first child = i+1, second child = the first
+  // child's skip pointer), so a reverse pass sees both children refit
+  // before the parent. Leaf order / skips / data stay fixed — the BLAS
+  // still exactly bounds the (re-skinned) leaf triangles, so traversal
+  // results are identical to a fresh build over the same leaf sets.
+  size_t n = cache.nodes.size() / 8;
+  const std::vector<float>& v = cache.v_vec4;
+  for (size_t ii = n; ii-- > 0;) {
+    float* nd = &cache.nodes[ii * 8];
+    uint32_t data = f32_to_bits(nd[7]);
+    AABB box = AABB::empty();
+    if (data != 0) {
+      uint32_t first = data >> 3;
+      uint32_t cnt = data & 7;
+      for (uint32_t t = first; t < first + cnt; ++t) {
+        for (int k = 0; k < 3; ++k) {
+          uint32_t vi = cache.topo[(size_t)t * 20 + k];
+          box.grow(Vec3{v[vi * 4], v[vi * 4 + 1], v[vi * 4 + 2]});
+        }
+      }
+    } else {
+      size_t c1 = ii + 1;
+      size_t c2 = f32_to_bits(cache.nodes[c1 * 8 + 3]);
+      for (size_t c : {c1, c2}) {
+        const float* cn = &cache.nodes[c * 8];
+        box.grow(Vec3{cn[0], cn[1], cn[2]});
+        box.grow(Vec3{cn[4], cn[5], cn[6]});
+      }
+    }
+    nd[0] = box.min.x;
+    nd[1] = box.min.y;
+    nd[2] = box.min.z;
+    nd[4] = box.max.x;
+    nd[5] = box.max.y;
+    nd[6] = box.max.z;
+  }
+}
+
 void World::rebuild_geometry(
     const std::vector<Mat4>& globals,
     std::vector<std::vector<uint32_t>>& emissive_lists,
@@ -195,6 +235,7 @@ void World::rebuild_geometry(
   blas_root_offsets_.clear();
   emissive_lists.clear();
   geom_ranges.clear();
+  geom_cache_.resize(scene_.geometries.size());
 
   uint32_t current_node_offset = 0;
 
@@ -212,100 +253,131 @@ void World::rebuild_geometry(
       skin = &scene_.skins[*geom.skin_index];
     }
 
+    GeomCache& cache = geom_cache_[geom_idx];
     size_t vcount = geom.base_positions.size();
-    std::vector<float> v_vec4, n_vec4, uv_vec2;
-    v_vec4.reserve(vcount * 4);
-    n_vec4.reserve(vcount * 4);
-    uv_vec2.reserve(vcount * 2);
 
-    if (skin) {
-      // Linear-blend skinning, 4 joints/vertex, NaN-sanitized
-      // (reference rebuilder.rs:50-89).
-      std::vector<Mat4> joint_mats(skin->joints.size());
-      for (size_t j = 0; j < skin->joints.size(); ++j) {
-        joint_mats[j] = globals[skin->joints[j]] * skin->inverse_bind_matrices[j];
+    if (!cache.valid || skin) {
+      // (Re-)skin into the cache's local vertex arrays. Linear-blend
+      // skinning, 4 joints/vertex, NaN-sanitized (reference
+      // rebuilder.rs:50-89). Non-skinned geometries take this path once.
+      cache.v_vec4.clear();
+      cache.n_vec4.clear();
+      cache.v_vec4.reserve(vcount * 4);
+      cache.n_vec4.reserve(vcount * 4);
+      bool fill_uv = !cache.valid;
+      if (fill_uv) {
+        cache.uv_vec2.clear();
+        cache.uv_vec2.reserve(vcount * 2);
       }
-      for (size_t i = 0; i < vcount; ++i) {
-        Vec3 pos = geom.base_positions[i];
-        Vec3 norm = geom.base_normals[i];
-        Vec2 uv = i < geom.base_uvs.size() ? geom.base_uvs[i] : Vec2{0, 0};
-        Mat4 mat = Mat4::zero();
-        bool any = false;
-        for (int k = 0; k < 4; ++k) {
-          float w = geom.weights[i * 4 + k];
-          if (w > 0.f) {
-            mat = mat + joint_mats[geom.joints[i * 4 + k]] * w;
-            any = true;
-          }
+      std::vector<Mat4> joint_mats;
+      if (skin) {
+        joint_mats.resize(skin->joints.size());
+        for (size_t j = 0; j < skin->joints.size(); ++j) {
+          joint_mats[j] =
+              globals[skin->joints[j]] * skin->inverse_bind_matrices[j];
         }
-        if (!any) mat = Mat4::identity();
-        Vec3 p = mat.transform_point(pos);
-        Vec3 n = mat.transform_vector(norm).normalized();
-        if (p.is_nan()) p = {0, 0, 0};
-        if (n.is_nan()) n = {0, 0, 1};
-        v_vec4.insert(v_vec4.end(), {p.x, p.y, p.z, 1.f});
-        n_vec4.insert(n_vec4.end(), {n.x, n.y, n.z, 0.f});
-        uv_vec2.insert(uv_vec2.end(), {uv.x, uv.y});
       }
-    } else {
       for (size_t i = 0; i < vcount; ++i) {
         Vec3 p = geom.base_positions[i];
         Vec3 n = geom.base_normals[i];
-        Vec2 uv = i < geom.base_uvs.size() ? geom.base_uvs[i] : Vec2{0, 0};
+        if (skin) {
+          Mat4 mat = Mat4::zero();
+          bool any = false;
+          for (int k = 0; k < 4; ++k) {
+            float w = geom.weights[i * 4 + k];
+            if (w > 0.f) {
+              mat = mat + joint_mats[geom.joints[i * 4 + k]] * w;
+              any = true;
+            }
+          }
+          if (!any) mat = Mat4::identity();
+          p = mat.transform_point(p);
+          n = mat.transform_vector(n).normalized();
+        }
         if (p.is_nan()) p = {0, 0, 0};
         if (n.is_nan()) n = {0, 0, 1};
-        v_vec4.insert(v_vec4.end(), {p.x, p.y, p.z, 1.f});
-        n_vec4.insert(n_vec4.end(), {n.x, n.y, n.z, 0.f});
-        uv_vec2.insert(uv_vec2.end(), {uv.x, uv.y});
+        cache.v_vec4.insert(cache.v_vec4.end(), {p.x, p.y, p.z, 1.f});
+        cache.n_vec4.insert(cache.n_vec4.end(), {n.x, n.y, n.z, 0.f});
+        if (fill_uv) {
+          Vec2 uv = i < geom.base_uvs.size() ? geom.base_uvs[i] : Vec2{0, 0};
+          cache.uv_vec2.insert(cache.uv_vec2.end(), {uv.x, uv.y});
+        }
       }
     }
 
-    // BLAS build
-    BlasBuilder builder(v_vec4, geom.indices);
-    std::vector<float> nodes;
-    std::vector<uint32_t> sorted_indices, tri_ids;
-    builder.build(nodes, sorted_indices, tri_ids);
+    if (!cache.valid) {
+      // First build: binned-SAH BLAS + LOCAL topology/emissive records.
+      // The leaf order fixed here persists for the geometry's lifetime
+      // (skinned ticks refit AABBs over the same leaves instead of
+      // re-running SAH — see refit_cached_blas).
+      BlasBuilder builder(cache.v_vec4, geom.indices);
+      std::vector<uint32_t> sorted_indices, tri_ids;
+      cache.nodes.clear();
+      builder.build(cache.nodes, sorted_indices, tri_ids);
 
+      cache.topo.clear();
+      cache.topo.reserve(tri_ids.size() * 20);
+      cache.emissive.clear();
+      for (size_t i = 0; i < tri_ids.size(); ++i) {
+        cache.topo.push_back(sorted_indices[i * 3]);
+        cache.topo.push_back(sorted_indices[i * 3 + 1]);
+        cache.topo.push_back(sorted_indices[i * 3 + 2]);
+        cache.topo.push_back((uint32_t)geom_idx);
+        const float* attrs =
+            &geom.attributes[(size_t)tri_ids[i] * ATTR_STRIDE];
+        for (size_t k = 0; k < ATTR_STRIDE; ++k) {
+          cache.topo.push_back(f32_to_bits(attrs[k]));
+        }
+        if (std::fabs(attrs[3] - 3.f) < 1e-6f) {
+          cache.emissive.push_back((uint32_t)i);
+        }
+      }
+      cache.valid = true;
+    } else if (skin) {
+      refit_cached_blas(cache);
+    }
+
+    // Splice the cached geometry into the merged buffers, rebasing the
+    // topology vertex indices and the leaf triangle ranges (reference
+    // rebuilder.rs:121-134). Skip pointers stay geometry-relative per the
+    // flat contract (absolutized at upload, render/resources.py).
     uint32_t v_offset = (uint32_t)(buffers_.vertices.size() / 4);
     uint32_t topo_start = (uint32_t)(buffers_.mesh_topology.size() / 20);
 
-    // Rebase leaf triangle ranges into the concatenated topology array
-    // (reference rebuilder.rs:121-134).
-    for (size_t i = 0; i < nodes.size() / 8; ++i) {
-      uint32_t data_bits = f32_to_bits(nodes[i * 8 + 7]);
+    size_t tbase = buffers_.mesh_topology.size();
+    buffers_.mesh_topology.insert(buffers_.mesh_topology.end(),
+                                  cache.topo.begin(), cache.topo.end());
+    for (size_t i = tbase; i < buffers_.mesh_topology.size(); i += 20) {
+      buffers_.mesh_topology[i] += v_offset;
+      buffers_.mesh_topology[i + 1] += v_offset;
+      buffers_.mesh_topology[i + 2] += v_offset;
+    }
+
+    size_t nbase = buffers_.blas_nodes.size();
+    buffers_.blas_nodes.insert(buffers_.blas_nodes.end(),
+                               cache.nodes.begin(), cache.nodes.end());
+    for (size_t i = nbase; i < buffers_.blas_nodes.size(); i += 8) {
+      uint32_t data_bits = f32_to_bits(buffers_.blas_nodes[i + 7]);
       if (data_bits != 0) {
         uint32_t lf = data_bits >> 3;
         uint32_t cnt = data_bits & 7;
-        nodes[i * 8 + 7] = bits_to_f32(((lf + topo_start) << 3) | cnt);
+        buffers_.blas_nodes[i + 7] =
+            bits_to_f32(((lf + topo_start) << 3) | cnt);
       }
     }
 
-    // Pack topology records (stride 20 u32) in BLAS leaf order; collect
-    // emissive triangles (mat_type 3) for the light list.
-    std::vector<uint32_t> emissive;
-    for (size_t i = 0; i < tri_ids.size(); ++i) {
-      uint32_t v0 = sorted_indices[i * 3] + v_offset;
-      uint32_t v1 = sorted_indices[i * 3 + 1] + v_offset;
-      uint32_t v2 = sorted_indices[i * 3 + 2] + v_offset;
-      const float* attrs = &geom.attributes[(size_t)tri_ids[i] * ATTR_STRIDE];
-
-      buffers_.mesh_topology.push_back(v0);
-      buffers_.mesh_topology.push_back(v1);
-      buffers_.mesh_topology.push_back(v2);
-      buffers_.mesh_topology.push_back((uint32_t)geom_idx);
-      for (size_t k = 0; k < ATTR_STRIDE; ++k) {
-        buffers_.mesh_topology.push_back(f32_to_bits(attrs[k]));
-      }
-      if (std::fabs(attrs[3] - 3.f) < 1e-6f) {
-        emissive.push_back(topo_start + (uint32_t)i);
-      }
+    emissive_lists.emplace_back();
+    emissive_lists.back().reserve(cache.emissive.size());
+    for (uint32_t e : cache.emissive) {
+      emissive_lists.back().push_back(topo_start + e);
     }
-    emissive_lists.push_back(std::move(emissive));
 
-    buffers_.vertices.insert(buffers_.vertices.end(), v_vec4.begin(), v_vec4.end());
-    buffers_.normals.insert(buffers_.normals.end(), n_vec4.begin(), n_vec4.end());
-    buffers_.uvs.insert(buffers_.uvs.end(), uv_vec2.begin(), uv_vec2.end());
-    buffers_.blas_nodes.insert(buffers_.blas_nodes.end(), nodes.begin(), nodes.end());
+    buffers_.vertices.insert(buffers_.vertices.end(), cache.v_vec4.begin(),
+                             cache.v_vec4.end());
+    buffers_.normals.insert(buffers_.normals.end(), cache.n_vec4.begin(),
+                            cache.n_vec4.end());
+    buffers_.uvs.insert(buffers_.uvs.end(), cache.uv_vec2.begin(),
+                        cache.uv_vec2.end());
 
     blas_root_offsets_.push_back(current_node_offset);
     uint32_t node_count =

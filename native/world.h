@@ -66,8 +66,29 @@ class World {
                         std::vector<std::vector<uint32_t>>& emissive_lists,
                         std::vector<std::pair<uint32_t, uint32_t>>& geom_ranges);
 
+  // Per-geometry build cache. The authored geometry set is immutable after
+  // construction (update() only changes node transforms + skin poses), so:
+  //  - non-skinned geometries' outputs are tick-invariant: cached verbatim
+  //    and spliced (with index rebasing) every tick;
+  //  - skinned geometries keep their FIRST-pose BLAS topology (leaf order,
+  //    skip pointers) and per tick only re-skin vertices and REFIT node
+  //    AABBs bottom-up — O(V + T) instead of a full binned-SAH rebuild.
+  // The reference rebuilds everything per tick (rebuilder.rs:8-186) against
+  // a 60 fps WASM budget; refit keeps images identical (the BLAS only
+  // accelerates: AABBs stay exact over the same leaf set) while cutting the
+  // host tick from O(T log T) SAH to a memcpy + skin + refit.
+  struct GeomCache {
+    bool valid = false;
+    std::vector<float> v_vec4, n_vec4, uv_vec2;  // geometry-local
+    std::vector<float> nodes;       // 8 f32/node; leaf data + skips LOCAL
+    std::vector<uint32_t> topo;     // stride-20 records, v-indices LOCAL
+    std::vector<uint32_t> emissive; // LOCAL topo indices
+  };
+  void refit_cached_blas(GeomCache& cache);
+
   RenderBuffers buffers_;
   SceneData scene_;
+  std::vector<GeomCache> geom_cache_;
   std::vector<uint32_t> blas_root_offsets_;
   std::vector<AABB> instance_blas_aabbs_;
   std::vector<Instance> raw_instances_;
