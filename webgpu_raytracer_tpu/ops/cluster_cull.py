@@ -23,6 +23,98 @@ import jax
 import jax.numpy as jnp
 
 
+def tile_cluster_worklist_exact(rayfT, t_max, spheres, m_tile: int,
+                                chunk: int = 128):
+    """EXACT per-lane sphere-interval worklists, unioned per ray tile.
+
+    Replaces the cone broad phase with the same division-free ray/sphere
+    interval test the kernel's cull() applies (ops/pallas_dense._kernel2),
+    evaluated densely for all (lane, cluster) pairs in XLA and OR-reduced
+    per m_tile lanes. The worklist is then the exact static-interval union:
+    every surviving entry has at least one lane whose [t_min, t_max]
+    segment touches the cluster sphere, so the kernel's scan-side cull
+    admits most of them and the scan length drops to the union size
+    (measured on `spheres` bounce tiles: 663 cone survivors vs ~250 exact;
+    tools/pair_stats.py sized the per-group unions that bound this).
+
+    Cost: R x Ct pair tests, chunked over clusters so the (chunk, R) bool
+    intermediate never materializes at full width — dense VPU work that
+    XLA fuses into ~2 reads of the ray components per chunk.
+
+    Sort keys are the per-tile MIN WORLD-DISTANCE at which any lane's
+    segment can touch the cluster (max(dist_entry, 0)), tighter than the
+    cone path's center-distance key; the kernel's sorted early exit
+    compares them against the per-tile open-interval reach as before.
+
+    Same return contract as tile_cluster_worklist.
+    """
+    k, rp = rayfT.shape
+    t_big = rp // m_tile
+    d = rayfT[0:3]                                   # (3, R)
+    o = rayfT[6:9]
+    t_min = 1e-3
+    dd = (d * d).sum(axis=0)                         # (R,)
+    dlen = jnp.sqrt(dd)
+    live = t_max > 0.0
+    # Scene AABB slab exit cap in world units (see _run2's wcap): rays that
+    # exit the scene box can't touch anything past the exit.
+    live_c = spheres[:, 3] >= 0.0
+    s_lo = jnp.min(jnp.where(live_c[:, None], spheres[:, 0:3]
+                             - spheres[:, 3:4], jnp.float32(3e38)), axis=0)
+    s_hi = jnp.max(jnp.where(live_c[:, None], spheres[:, 0:3]
+                             + spheres[:, 3:4], jnp.float32(-3e38)), axis=0)
+    t_exit = None
+    for ax in range(3):
+        d_safe = jnp.where(jnp.abs(d[ax]) > 1e-20, d[ax],
+                           jnp.where(d[ax] >= 0.0, 1e-20, -1e-20))
+        t1 = (s_lo[ax] - o[ax]) / d_safe
+        t2 = (s_hi[ax] - o[ax]) / d_safe
+        hi_ = jnp.maximum(t1, t2)
+        t_exit = hi_ if t_exit is None else jnp.minimum(t_exit, hi_)
+    t_clip = jnp.minimum(t_max, jnp.maximum(t_exit, 0.0))
+    t_clip = jnp.where(live, t_clip, 0.0)
+
+    ct = spheres.shape[0]
+    nchunks = -(-ct // chunk)
+    pad = nchunks * chunk - ct
+    sph = jnp.pad(spheres[:, :4], ((0, pad), (0, 0)), constant_values=-1.0)
+
+    def body(c0, acc):
+        poss_acc, key_acc = acc
+        s = jax.lax.dynamic_slice(sph, (c0 * chunk, 0), (chunk, 4))
+        cx, cy, cz, r = s[:, 0:1], s[:, 1:2], s[:, 2:3], s[:, 3:4]
+        ocx = o[0][None, :] - cx
+        ocy = o[1][None, :] - cy
+        ocz = o[2][None, :] - cz
+        b = d[0][None] * ocx + d[1][None] * ocy + d[2][None] * ocz
+        cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = b * b - dd[None] * cc
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        ok = (disc >= 0.0) & (t_clip[None] > 0.0) & (r >= 0.0) \
+            & (-b + sq >= dd[None] * t_min) & (-b - sq <= dd[None] * t_clip[None])
+        # Min touch distance (world units) per pair; >= 0 (origin inside
+        # the sphere clamps to 0, like the cone path's dist - rcp).
+        entry_w = jnp.maximum((-b - sq) / dd[None] * dlen[None], 0.0)
+        key = jnp.where(ok, entry_w, jnp.float32(3e38))
+        okt = ok.reshape(chunk, t_big, m_tile).any(axis=2)       # (chunk, T)
+        keyt = key.reshape(chunk, t_big, m_tile).min(axis=2)
+        poss_acc = jax.lax.dynamic_update_slice(poss_acc, okt.T, (0, c0 * chunk))
+        key_acc = jax.lax.dynamic_update_slice(key_acc, keyt.T, (0, c0 * chunk))
+        return poss_acc, key_acc
+
+    possible, key = jax.lax.fori_loop(
+        0, nchunks, body,
+        (jnp.zeros((t_big, nchunks * chunk), bool),
+         jnp.full((t_big, nchunks * chunk), 3e38, jnp.float32)))
+    possible = possible[:, :ct]
+    key = jnp.where(possible, key[:, :ct], jnp.float32(3e38))
+
+    counts = possible.sum(axis=1).astype(jnp.int32)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    keys_sorted = jnp.take_along_axis(key, order, axis=1)
+    return order, keys_sorted, counts
+
+
 def tile_cluster_worklist(rayfT, t_max, spheres, m_tile: int,
                           sub: int = 32):
     """Conservative per-ray-tile cluster survivor lists.

@@ -323,7 +323,7 @@ def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, cull8_ref, tmax_ref,
              sph_ref, featk3_hbm, shadek3_hbm, *refs,
              t_min: float, any_hit: bool, with_row: bool, c_tile: int,
              with_stats: bool = False, debug: str = "", depth: int = 1,
-             batch: int = 1):
+             batch: int = 1, scan_batch: int = 1):
     # scal: [first_row_tile, count_0, count_1, ...]
     # surv: (1, 1, Ctp) SMEM — sorted surviving cluster ids for this tile
     # dist: (1, 1, Ctp) SMEM — matching sorted min-reach keys (monotone)
@@ -584,39 +584,43 @@ def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, cull8_ref, tmax_ref,
 
     def body(carry):
         s, nfound, nproc, scan_done = carry
-        # Scan one worklist entry when the queue has a free slot (dense
-        # survivor runs then do one scan + one process per iteration, as the
-        # depth-1 loop did; sparse runs scan several entries per process).
-        do_scan = jnp.logical_not(scan_done) & (nfound - nproc < depth)
-        s_c = jnp.minimum(s, surv_ref.shape[2] - 1)  # clamp for the read
-        live = (s < count) & (dist_ref[0, 0, s_c] <= maxt_s[0])
-        ok = do_scan & live & cull(s_c)
+        # Scan up to `scan_batch` worklist entries per iteration (each only
+        # while the queue has a free slot): the Mosaic while-loop's ~300-
+        # cycle branch/carry overhead amortizes across the scans, which
+        # matters once exact worklists make the scan the iteration count's
+        # floor. Dense survivor runs then enqueue scan_batch and drain one
+        # process-batch per iteration.
+        for _u in range(scan_batch):
+            do_scan = jnp.logical_not(scan_done) & (nfound - nproc < depth)
+            s_c = jnp.minimum(s, surv_ref.shape[2] - 1)  # clamp for the read
+            live = (s < count) & (dist_ref[0, 0, s_c] <= maxt_s[0])
+            ok = do_scan & live & cull(s_c)
 
-        @pl.when(ok)
-        def _enqueue():
-            slot = jax.lax.rem(nfound, depth)
-            qk_s[slot] = s_c
-            if debug != "noproc":
-                dma_feat(s_c, slot).start()
-                if with_row:
-                    dma_shade(s_c, slot).start()
+            @pl.when(ok)
+            def _enqueue(s_c=s_c, nfound=nfound):
+                slot = jax.lax.rem(nfound, depth)
+                qk_s[slot] = s_c
+                if debug != "noproc":
+                    dma_feat(s_c, slot).start()
+                    if with_row:
+                        dma_shade(s_c, slot).start()
 
-        nfound2 = nfound + ok.astype(jnp.int32)
-        scan_done2 = scan_done | (do_scan & jnp.logical_not(live))
+            nfound = nfound + ok.astype(jnp.int32)
+            scan_done = scan_done | (do_scan & jnp.logical_not(live))
+            s = jnp.where(do_scan, s + 1, s)
         # Process the oldest queued BATCH once the queue is full (its DMAs
         # then have ~depth-batch processings of lead) or the scan is
         # finished (draining in batches, with one short tail at most).
-        do_process = (nfound2 - nproc >= depth) | (
-            scan_done2 & (nfound2 > nproc))
-        nv = jnp.minimum(nfound2 - nproc, batch)
+        do_process = (nfound - nproc >= depth) | (
+            scan_done & (nfound > nproc))
+        nv = jnp.minimum(nfound - nproc, batch)
 
         @pl.when(do_process)
         def _proc():
             if debug != "noproc":
                 process_batch(nproc, nv)
 
-        return (jnp.where(do_scan, s + 1, s), nfound2,
-                nproc + jnp.where(do_process, nv, 0), scan_done2)
+        return (s, nfound, nproc + jnp.where(do_process, nv, 0), scan_done)
 
     k_end, _, nproc, _ = jax.lax.while_loop(
         cond, body,
@@ -640,7 +644,8 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
     with_stats=True appends a (T, 3) float32 array to the return tuple:
     per ray tile [loop iterations, clusters processed, worklist count]
     (tooling only; see tools/stats_spheres.py)."""
-    from .cluster_cull import tile_cluster_worklist
+    from .cluster_cull import (tile_cluster_worklist,
+                               tile_cluster_worklist_exact)
 
     m_tile2 = tune.m_tile2
     rox, roy, roz = ro
@@ -743,8 +748,12 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
     zpad = jnp.zeros((FEAT_K3 - 3 * FEAT_P, rp), rh.dtype)
     rayk3 = jnp.concatenate([rh, rl, rh, zpad], axis=0)  # (K3, rp)
 
-    order, keys, counts = tile_cluster_worklist(rayfT, t_max, sph_flat,
-                                                m_tile2, sub=tune.subtile)
+    if tune.exact_cull:
+        order, keys, counts = tile_cluster_worklist_exact(
+            rayfT, t_max, sph_flat, m_tile2)
+    else:
+        order, keys, counts = tile_cluster_worklist(rayfT, t_max, sph_flat,
+                                                    m_tile2, sub=tune.subtile)
     # Cull operands, VREG-TILED (see _kernel2 docstring): per tile a
     # (9 * n_sub, 128) block of [dx, dy, dz, ox, oy, oz, dlen, wcap, tmax]
     # where wcap is the world-unit scene-slab reach cap — a lane that exits
@@ -838,7 +847,8 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
         functools.partial(_kernel2, t_min=t_min, any_hit=any_hit,
                           with_row=with_row, c_tile=c,
                           with_stats=with_stats, debug=tune.debug2,
-                          depth=tune.prefetch_depth, batch=tune.proc_batch),
+                          depth=tune.prefetch_depth, batch=tune.proc_batch,
+                          scan_batch=tune.scan_batch),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(

@@ -35,6 +35,15 @@ class TuneConfig(NamedTuple):
     # Cone-cull granularity (lanes) of the broad phase; tiles OR-reduce
     # their subtile cones (32-lane subcones cut tile survivors ~3x).
     subtile: int = 32
+    # Exact per-lane interval broad phase (tile_cluster_worklist_exact):
+    # dense R x Ct sphere-interval tests in XLA instead of subtile cones —
+    # worklists shrink to the exact static union (measured ~2.6x shorter on
+    # spheres bounce tiles), at ~2 ms of fused VPU work per sweep.
+    exact_cull: bool = True
+    # Worklist entries culled+enqueued per survivor-loop iteration: >1
+    # amortizes the ~300-cycle Mosaic while-loop overhead across scans
+    # (exact worklists make most scans enqueue, so keep modest).
+    scan_batch: int = 2
     # Rays per kernel tile of the two-level sweep (worklist granularity).
     m_tile2: int = 1024
     # Survivor-DMA prefetch depth: the scan (cull + DMA-start) runs up to
