@@ -79,11 +79,19 @@ def build(scene_name, obj_source=None, glb_data=None, width=512, height=512):
     from webgpu_raytracer_tpu.render.worldtris import build_world_tris
     from webgpu_raytracer_tpu.utils.textures import decode_world_textures
 
+    from webgpu_raytracer_tpu.utils.textures import build_quad_pyramid
+
     world = NativeWorld(scene_name, obj_source, glb_data)
     world.update_camera(width, height)
     # Decode to the 1024^2 texture array like the Renderer does — without
-    # this, textured configs silently bench the 1x1 fast path.
-    scene = build_device_scene(world, textures=decode_world_textures(world))
+    # this, textured configs silently bench the 1x1 fast path. Like the
+    # Renderer, textured scenes carry the (level0, mip) quad-table pyramid:
+    # bounces >= 1 sample the mip (ops/dense_trace.tex_level).
+    dec = decode_world_textures(world)
+    scene = build_device_scene(world, textures=dec)
+    if dec is not None:
+        scene = scene._replace(textures=tuple(
+            jnp.asarray(t) for t in build_quad_pyramid(dec)))
     wt = build_world_tris(world)
     camera = jnp.asarray(world.camera())
     return world, wt, scene, camera

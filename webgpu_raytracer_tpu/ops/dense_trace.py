@@ -48,6 +48,20 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def tex_level(textures, level: int):
+    """Resolve a texture operand that may be a (level0, level1) pyramid.
+
+    Bounce-0 samples read the full-resolution quad table; bounces >= 1 read
+    the SECONDARY_MIP box mip (utils/textures.build_quad_pyramid) — the
+    working-set cut that keeps incoherent secondary-hit gathers out of the
+    multi-MB latency regime. A bare array means "one level for everything"
+    (tests and the BVH path pass the plain packed table).
+    """
+    if isinstance(textures, (tuple, list)):
+        return textures[min(level, len(textures) - 1)]
+    return textures
+
+
 def sample_texture_v3(textures, tex_idx, u, v) -> V3:
     """Component-SoA texture sample; tex_idx < 0 returns white.
 
@@ -107,7 +121,8 @@ class DenseHit(NamedTuple):
     albedo: V3
 
 
-def shade_from_rowT(textures, rowT, ro: V3, rd: V3, valid=None):
+def shade_from_rowT(textures, rowT, ro: V3, rd: V3, valid=None,
+                    level: int = 0):
     """Barycentric attributes for a known world triangle (world space).
 
     Same math as the reference's hit reconstruction (Raytracer.wgsl:738-779)
@@ -143,11 +158,12 @@ def shade_from_rowT(textures, rowT, ro: V3, rd: V3, valid=None):
     if valid is not None:
         base_tex = jnp.where(valid, base_tex, -1)
         normal_tex = jnp.where(valid, normal_tex, -1)
+    tex = tex_level(textures, level)
     albedo = _row_v3(rowT, "base_color") * sample_texture_v3(
-        textures, base_tex, tex_u, tex_v)
+        tex, base_tex, tex_u, tex_v)
 
     # Tangent-space normal mapping with edge1 tangent (wgsl:770-776).
-    n_map = sample_texture_v3(textures, normal_tex, tex_u, tex_v) * 2.0 - 1.0
+    n_map = sample_texture_v3(tex, normal_tex, tex_u, tex_v) * 2.0 - 1.0
     t_axis = normalize(e1)
     b_axis = normalize(cross(ln, t_axis))
     ln_mapped = normalize(t_axis * n_map.x + b_axis * n_map.y + ln * n_map.z)
@@ -178,7 +194,8 @@ def _mt_refine_t(rowT, ro: V3, rd: V3):
 
 
 def intersect_and_shade(wt: WorldTris, textures, ro: V3, rd: V3, active,
-                        tune: TuneConfig = DEFAULT_TUNE) -> DenseHit:
+                        tune: TuneConfig = DEFAULT_TUNE,
+                        level: int = 0) -> DenseHit:
     if _use_pallas():
         from .pallas_dense import pallas_closest_with_row
 
@@ -193,7 +210,7 @@ def intersect_and_shade(wt: WorldTris, textures, ro: V3, rd: V3, active,
         rowT = jnp.where((idx >= 0)[None, :], rowT, 0.0)
     t = jnp.where(idx >= 0, _mt_refine_t(rowT, ro, rd), t)
     tex_u, tex_v, normal, geom_n, albedo = shade_from_rowT(
-        textures, rowT, ro, rd, valid=idx >= 0)
+        textures, rowT, ro, rd, valid=idx >= 0, level=level)
     return DenseHit(rowT, idx, t, tex_u, tex_v, normal, geom_n, albedo)
 
 
@@ -244,12 +261,13 @@ def fused_shadow_and_next(wt: WorldTris, textures, sro: V3, srd: V3, s_tmax,
         nt, nidx, nrowT = t[R:], idx[R:], rowT  # rows cover lanes [R:] only
         nt = jnp.where(nidx >= 0, _mt_refine_t(nrowT, cro, crd), nt)
         tex_u, tex_v, normal, geom_n, albedo = shade_from_rowT(
-            textures, nrowT, cro, crd, valid=nidx >= 0)
+            textures, nrowT, cro, crd, valid=nidx >= 0, level=1)
         return occluded, DenseHit(nrowT, nidx, nt, tex_u, tex_v, normal,
                                   geom_n, albedo)
     occluded = shadow_query(wt, sro, srd, t_max=s_tmax, active=s_active,
                             tune=tune)
-    nhit = intersect_and_shade(wt, textures, cro, crd, c_active, tune=tune)
+    nhit = intersect_and_shade(wt, textures, cro, crd, c_active, tune=tune,
+                               level=1)
     return occluded, nhit
 
 
@@ -317,7 +335,7 @@ def sample_light_dense(wt: WorldTris, textures, hit_p: V3, r0, r1, r2):
     tex_v = rowT[lo0 + 1] * u + rowT[lo1 + 1] * v + rowT[lo2 + 1] * w
     base_tex = _row_f(rowT, "tex", 0).astype(jnp.int32)
     L = _row_v3(rowT, "base_color") * sample_texture_v3(
-        textures, base_tex, tex_u, tex_v)
+        tex_level(textures, 1), base_tex, tex_u, tex_v)
 
     pdf = dist_sq / jnp.maximum(cos_theta_l * area, 1e-20) / lc_f
     valid = (lc > 0) & (cos_theta_l >= 1e-6) & (area > 0.0)
@@ -424,7 +442,8 @@ def ray_color_dense(wt: WorldTris, textures, ro: V3, rd: V3, rng,
 
         metallic = _row_f(rowT, "mrir", 0)
         roughness = _row_f(rowT, "mrir", 1)
-        mr = sample_texture_v3(textures, tex_mr, s.hit.tex_u, s.hit.tex_v)
+        mr = sample_texture_v3(tex_level(textures, 1), tex_mr,
+                               s.hit.tex_u, s.hit.tex_v)
         metallic = jnp.where(tex_mr >= 0, metallic * mr.z, metallic)
         roughness = jnp.where(tex_mr >= 0, roughness * mr.y, roughness)
         roughness = jnp.maximum(roughness, 0.005)
@@ -432,7 +451,8 @@ def ray_color_dense(wt: WorldTris, textures, ro: V3, rd: V3, rng,
 
         emissive = _row_v3(rowT, "emissive") * where(
             tex_em >= 0,
-            sample_texture_v3(textures, tex_em, s.hit.tex_u, s.hit.tex_v),
+            sample_texture_v3(tex_level(textures, 1), tex_em,
+                              s.hit.tex_u, s.hit.tex_v),
             V3(ones, ones, ones))
 
         albedo = s.hit.albedo
@@ -701,7 +721,8 @@ def _rows_path_ok(textures, wt: WorldTris) -> bool:
     from .shade_rows import LROWS_PAD
 
     return (os.environ.get("WRT_SHADE_KERNEL") == "1"
-            and _use_pallas() and textures.shape == (1, 1, 1, 3)
+            and _use_pallas()
+            and tex_level(textures, 0).shape == (1, 1, 1, 3)
             and wt.light_rows.shape[0] <= LROWS_PAD)
 
 

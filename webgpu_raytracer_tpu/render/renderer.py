@@ -109,17 +109,21 @@ class Renderer:
             self.world.set_animation(self.config.anim_index)
             self.world.update(0.0)
         self.world.update_camera(self.width, self.height)
-        from ..utils.textures import decode_world_textures, pack_quad_table
+        from ..utils.textures import build_quad_pyramid, decode_world_textures
 
         self._textures_np = decode_world_textures(self.world)
         if self._textures_np is not None:
-            # Pack ONCE and keep the DEVICE array: textures never change
+            # Pack ONCE and keep the DEVICE arrays: textures never change
             # across scene ticks, and jnp.asarray of an existing device
             # array is a no-op — so animated re-uploads skip the multi-MB
-            # texture transfer entirely.
-            self._textures_np = jnp.asarray(pack_quad_table(self._textures_np))
+            # texture transfer entirely. The (level0, mip) pyramid feeds the
+            # dense path (bounces >= 1 sample the mip — see
+            # ops/dense_trace.tex_level); the BVH path reads level 0.
+            self._textures_np = tuple(
+                jnp.asarray(t) for t in build_quad_pyramid(self._textures_np))
         self.scene: DeviceScene = build_device_scene(
-            self.world, textures=self._textures_np)
+            self.world,
+            textures=self._textures_np[0] if self._textures_np else None)
         n_world_tris = self._world_tri_count()
         self.backend = choose_backend(n_world_tris)
         self.wt = build_world_tris(self.world) if self.backend == "dense" else None
@@ -144,7 +148,9 @@ class Renderer:
 
     def _step_scene(self):
         if self.backend == "dense":
-            return (self.wt, self.scene.textures)
+            return (self.wt,
+                    self._textures_np if self._textures_np is not None
+                    else self.scene.textures)
         return self.scene
 
     def _alloc_buffers(self):
@@ -193,10 +199,18 @@ class Renderer:
     def reupload_scene(self, reset: bool = True):
         """Re-upload device tables from the (already updated) native world —
         the upload half of update_scene, used by the recorder's host/device
-        overlap (the world update runs on a worker thread meanwhile)."""
-        self.scene = build_device_scene(self.world, textures=self._textures_np)
+        overlap (the world update runs on a worker thread meanwhile).
+
+        The dense backend's render step reads only (wt, textures), so the
+        BVH-path DeviceScene rebuild (TLAS/BLAS absolutization + ~10 device
+        uploads) is skipped there — it was pure per-tick overhead on the
+        animation hot path."""
         if self.backend == "dense":
             self.wt = build_world_tris(self.world)
+        else:
+            self.scene = build_device_scene(
+                self.world,
+                textures=self._textures_np[0] if self._textures_np else None)
         self.world.update_camera(self.width, self.height)
         self.camera = jnp.asarray(self.world.camera())
         if reset:

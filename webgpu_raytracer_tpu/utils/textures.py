@@ -67,3 +67,35 @@ def pack_quad_table(tex: np.ndarray) -> np.ndarray:
         for c in (c00, c10, c01, c11)
     ]
     return np.stack(words, axis=-1)
+
+
+# Secondary-bounce mip size. The full quad table is 16 B/texel = 16.8 MB per
+# 1024^2 texture, and random-row gathers from multi-MB tables are HBM-
+# latency-bound (measured ~2x slower than <=1 MB-class tables —
+# tools/profile_textured.py). Secondary hits are spatially incoherent and
+# already filtered by Monte Carlo averaging, so bounces >= 1 sample a
+# box-filtered SECONDARY_MIP^2 mip (1 MB at 256): means are preserved by
+# construction (the golden gate checks mean radiance), only per-sample
+# secondary albedo is slightly blurred — the same trade every GPU renderer
+# makes by sampling non-zero mip levels on secondary rays. The reference
+# always samples level 0 (Raytracer.wgsl:666-672, textureSampleLevel(.., 0))
+# because its hardware sampler makes that free; on TPU the working-set cut
+# is the analogue of that hardware cache.
+SECONDARY_MIP = 256
+
+
+def build_quad_pyramid(tex: np.ndarray,
+                       mip: int = SECONDARY_MIP) -> tuple:
+    """(K, S, S, 3) f32 -> (level0, level1) packed quad tables.
+
+    level0 is pack_quad_table at full resolution (primary hits / G-buffer
+    seeded bounce 0); level1 is a box-downsampled mip for bounces >= 1.
+    """
+    l0 = pack_quad_table(tex)
+    k, s = tex.shape[0], tex.shape[1]
+    if s <= mip:
+        return l0, l0
+    f = s // mip
+    small = tex[:, : mip * f, : mip * f].reshape(k, mip, f, mip, f, 3) \
+        .mean(axis=(2, 4))
+    return l0, pack_quad_table(small)
