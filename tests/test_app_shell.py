@@ -126,3 +126,68 @@ def test_worker_single_client_reconnect_resumes():
         w.close()
     finally:
         coord.close()
+
+
+def test_preview_server_streams_frames():
+    """PreviewServer (cli render --preview): the / page serves, /stats
+    reflects the latest publish, and /stream yields a decodable JPEG part
+    per published frame (the reference's live canvas loop analogue,
+    src/main.ts:119-181)."""
+    import io
+    import urllib.request
+
+    from PIL import Image
+
+    from webgpu_raytracer_tpu.render.preview import PreviewServer
+
+    srv = PreviewServer(port=0)
+    try:
+        img = np.zeros((24, 32, 3), np.uint8)
+        img[:, :16] = (255, 0, 0)
+        srv.publish(img, stats="fps=1.0")
+
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/", timeout=5).read()
+        assert b"/stream" in page
+        stats = urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/stats", timeout=5).read()
+        assert stats == b"fps=1.0"
+
+        resp = urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/stream", timeout=5)
+        assert "multipart/x-mixed-replace" in resp.headers["Content-Type"]
+
+        def read_part():
+            assert resp.readline().strip() == b"--frame"
+            headers = {}
+            while True:
+                line = resp.readline().strip()
+                if not line:
+                    break
+                k, v = line.split(b":", 1)
+                headers[k.strip().lower()] = v.strip()
+            n = int(headers[b"content-length"])
+            body = resp.read(n)
+            resp.readline()  # trailing CRLF
+            return body
+
+        part = read_part()
+        decoded = Image.open(io.BytesIO(part))
+        assert decoded.size == (32, 24)
+        # publish a second frame; the stream must deliver a new part
+        srv.publish(np.full((24, 32, 3), 200, np.uint8))
+        part2 = read_part()
+        assert part2 != part
+    finally:
+        srv.close()
+
+
+def test_cli_render_preview_smoke(tmp_path):
+    """cli render --preview 0 renders to completion with the server up."""
+    from webgpu_raytracer_tpu.cli import main as cli_main
+
+    out = tmp_path / "p.png"
+    cli_main(["render", "--scene", "cornell", "--width", "16", "--height",
+              "16", "--depth", "2", "--frames", "2", "--preview", "0",
+              "--output", str(out)])
+    assert out.exists()

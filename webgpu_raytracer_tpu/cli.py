@@ -72,6 +72,12 @@ def cmd_render(args):
     from .utils.profiling import FrameStats
 
     r = _make_renderer(args)
+    preview = None
+    if getattr(args, "preview", None) is not None:
+        from .render.preview import PreviewServer
+
+        preview = PreviewServer(port=args.preview)
+        print(f"[render] live preview: http://127.0.0.1:{preview.port}/")
     use_gbuffer = getattr(args, "gbuffer", False)
     if use_gbuffer and r.backend != "dense":
         print("[render] --gbuffer requires the dense backend; ignored")
@@ -83,6 +89,7 @@ def cmd_render(args):
     last_stats = t_start
     stats = FrameStats(args.width, args.height, args.shader_spp, args.depth)
     animate = getattr(args, "animate", False)
+    last_pub = 0.0  # last preview publish time (~10 Hz cap)
     interval = max(1, r.config.update_interval)
     tick_fps = max(1, getattr(args, "fps", 30))
     pending = None  # in-flight async scene update (main.ts renderFrame loop)
@@ -99,9 +106,18 @@ def cmd_render(args):
             r.reupload_scene(reset=True)
             pending = None
         r.render_frame(use_gbuffer=use_gbuffer)
-        if animate:
-            r.present()  # advance TAA history every tick like the rAF loop
+        if animate or preview is not None:
+            # Advance the TAA history every tick like the rAF loop (present
+            # is part of the frame contract once anything displays frames).
+            r.present()
         np.asarray(r.accum)
+        if preview is not None:
+            now_p = time.perf_counter()
+            if i == args.frames - 1 or now_p - last_pub >= 0.1:  # ~10 Hz
+                last_pub = now_p
+                preview.publish(r.capture_frame(),
+                                stats=f"{stats.line()} "
+                                      f"frames={r.frame_count}")
         # Exact traced-ray count for this frame (device scalar from the
         # render step) — the stats line reports MEASURED Mrays/s.
         stats.record(time.perf_counter() - t0, float(np.asarray(r.last_rays)))
@@ -115,6 +131,8 @@ def cmd_render(args):
     Image.fromarray(img).save(args.output)
     total = time.perf_counter() - t_start
     print(f"[render] {args.frames} frames in {total:.2f}s -> {args.output}")
+    if preview is not None:
+        preview.close()
 
 
 def cmd_record(args):
@@ -255,6 +273,9 @@ def build_parser():
                     dest="update_interval",
                     help="frames between scene ticks (config.ts default 4)")
     sp.add_argument("--output", default="render.png")
+    sp.add_argument("--preview", type=int, nargs="?", const=0, default=None,
+                    help="serve a live MJPEG preview on this port (0 = "
+                         "auto); the reference's live canvas analogue")
     sp.set_defaults(fn=cmd_render)
 
     sp = sub.add_parser("record", help="offline animation render")
