@@ -457,23 +457,24 @@ def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, cull8_ref, tmax_ref,
                 if with_row:
                     dma_shade(qk_s[pos0 + b], pos0 + b).wait()
 
-        @pl.when(nv < batch)
-        def _zero_tail():
-            # Static slice: only the nv==batch-1 tail shape is ever short
-            # with batch == 2; for larger batches this over-zeroes ahead of
-            # positions that were never DMA'd, which is equally correct.
-            # Zero features give td == 0, which self-culls. The shade half
-            # must be zeroed as well: the one-hot matmul contracts over the
-            # WHOLE batch-wide buffer, and 0 x garbage (stale or
-            # uninitialized columns) is not 0 once the garbage is NaN.
-            feat_buf[buf, :, pl.ds(4 * c_tile, (batch - 1) * 4 * c_tile)] = (
-                jnp.zeros((feat_buf.shape[1], (batch - 1) * 4 * c_tile),
-                          feat_buf.dtype))
-            if with_row:
-                shade_buf[buf, :,
-                          pl.ds(3 * c_tile, (batch - 1) * 3 * c_tile)] = (
-                    jnp.zeros((shade_buf.shape[1],
-                               (batch - 1) * 3 * c_tile), shade_buf.dtype))
+        # Zero exactly the batch positions past nv (short batches only occur
+        # in the final drain): zero features give td == 0, which self-culls.
+        # The shade half must be zeroed as well: the one-hot matmul
+        # contracts over the WHOLE batch-wide buffer, and 0 x garbage
+        # (stale or uninitialized columns) is not 0 once the garbage is
+        # NaN. Per-position static slices gated on nv <= b — a single
+        # "zero everything past position 0" write (the old batch==2 code)
+        # silently zeroed REAL queued clusters for batch > 2 drains.
+        for b in range(1, batch):
+            @pl.when(nv <= b)
+            def _zero_pos(b=b):
+                feat_buf[buf, :, pl.ds(b * 4 * c_tile, 4 * c_tile)] = (
+                    jnp.zeros((feat_buf.shape[1], 4 * c_tile),
+                              feat_buf.dtype))
+                if with_row:
+                    shade_buf[buf, :, pl.ds(b * 3 * c_tile, 3 * c_tile)] = (
+                        jnp.zeros((shade_buf.shape[1], 3 * c_tile),
+                                  shade_buf.dtype))
 
         resT = jax.lax.dot_general(
             feat_buf[buf], rayk3_ref[:],

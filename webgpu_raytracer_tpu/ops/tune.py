@@ -27,8 +27,10 @@ class TuneConfig(NamedTuple):
     # bbox so all origins land in 1-2 cells).
     key_mode: str = "obox"
     # Direction-bin granularity of the coherence-sort key: 1 = sign octants
-    # (8 bins), n = n bits per normalized component (8^n bins).
-    dir_bits: int = 1
+    # (8 bins), n = n bits per normalized component (8^n bins). 2 cuts the
+    # spheres bounce sweep ~10% under exact worklists (finer subcones ->
+    # tighter per-tile unions); 3 loses (key build + sort cost, r4 sweep).
+    dir_bits: int = 2
     # Origin-cell bits per axis of the coherence-sort key (2..5 span ~3%
     # on spheres 512^2 d8; 5 marginally best).
     cell_bits: int = 5
@@ -48,10 +50,11 @@ class TuneConfig(NamedTuple):
     m_tile2: int = 1024
     # Survivor-DMA prefetch depth: the scan (cull + DMA-start) runs up to
     # this many clusters ahead of processing (hides ~1.6 us HBM latency).
-    prefetch_depth: int = 4
+    prefetch_depth: int = 8
     # Survivors intersected per stacked matmul (pipeline-fill amortization).
-    # Must divide prefetch_depth.
-    proc_batch: int = 2
+    # Must divide prefetch_depth. 4 amortizes the commit/epilogue another
+    # ~5% over 2 (r4 sweep; short drain batches zero per-position).
+    proc_batch: int = 4
     # Measurement-only kernel ablations ("" = off; "noproc" = cull+DMA only;
     # "nocull" = process every reachable survivor). tools/debug_spheres.py.
     debug2: str = ""

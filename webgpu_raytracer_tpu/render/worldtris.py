@@ -21,9 +21,11 @@ same 1e-6 determinant epsilon since a = -(n.d)).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 # Feature-vector layout (K = 16): [d(3), m(3), o(3), 1, pad(6)]
@@ -340,27 +342,92 @@ def build_world_tris(world, pad_to: int | None = None) -> WorldTris:
 
     featk3, spheres, shadek3 = _np_kernel_tables(features, shade, v0, e1, e2)
 
-    return WorldTris(
-        features=jnp.asarray(features),
-        v0=jnp.asarray(v0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
-        n0=jnp.asarray(n0), n1=jnp.asarray(n1), n2=jnp.asarray(n2),
-        uv0=jnp.asarray(uv0), uv1=jnp.asarray(uv1), uv2=jnp.asarray(uv2),
-        base_color=jnp.asarray(a[:, 0:3]),
-        mat=jnp.asarray(a[:, 3] + 0.5, jnp.int32),
-        mrir=jnp.asarray(a[:, 4:7]),
-        tex=jnp.asarray(a[:, 8:12], jnp.int32),
-        emissive=jnp.asarray(a[:, 12:15]),
-        tri_idx=jnp.asarray(sel_all, jnp.int32),
-        inst_idx=jnp.asarray(wt_inst, jnp.int32),
-        light_wt=jnp.asarray(lw, jnp.int32),
-        light_count=jnp.asarray(len(light_wt), jnp.int32),
-        valid_count=jnp.asarray(tw, jnp.int32),
-        shade_table=jnp.asarray(shade),
-        light_rows=jnp.asarray(light_rows),
-        featk3=jnp.asarray(featk3),
-        spheres=jnp.asarray(spheres),
-        shadek3=jnp.asarray(shadek3),
+    host = dict(
+        features=features,
+        v0=v0, e1=e1, e2=e2, n0=n0, n1=n1, n2=n2,
+        uv0=uv0, uv1=uv1, uv2=uv2,
+        base_color=np.ascontiguousarray(a[:, 0:3]),
+        mat=(a[:, 3] + 0.5).astype(np.int32),
+        mrir=np.ascontiguousarray(a[:, 4:7]),
+        tex=np.ascontiguousarray(a[:, 8:12]).astype(np.int32),
+        emissive=np.ascontiguousarray(a[:, 12:15]),
+        tri_idx=sel_all.astype(np.int32),
+        inst_idx=wt_inst.astype(np.int32),
+        light_wt=lw.astype(np.int32),
+        light_count=np.int32(len(light_wt)),
+        valid_count=np.int32(tw),
+        shade_table=shade,
+        light_rows=light_rows,
+        featk3=featk3,
+        spheres=spheres,
+        shadek3=shadek3,
     )
+    return WorldTris(**_upload_tables(host))
+
+
+# Per-tick scene re-uploads below this total size ride TWO device transfers
+# (one f32/i32 stream + one bf16 stream) unpacked by a jitted device-side
+# slice program, instead of ~25 separate host->device puts: on a tunneled
+# chip each put pays per-op latency, which dominated the animated-refit
+# frame (bench config 4). Large scenes (load-once; the packing memcpy would
+# cost more than it saves) keep per-array uploads.
+_PACK_MAX_BYTES = 32 * 1024 * 1024
+
+
+def _upload_tables(host: dict) -> dict:
+    """numpy tables -> device arrays; packed two-transfer path when small."""
+    total = sum(int(np.asarray(v).nbytes) for v in host.values())
+    if total > _PACK_MAX_BYTES:
+        out = {}
+        for k, v in host.items():
+            v = np.asarray(v)
+            out[k] = jnp.asarray(v if v.dtype != np.int64 else
+                                 v.astype(np.int32))
+        return out
+
+    bf16 = _np_bf16()
+    spec32 = []   # (name, offset, size, shape, kind)
+    spec16 = []
+    parts32 = []
+    parts16 = []
+    off32 = off16 = 0
+    for k in sorted(host):
+        v = np.asarray(host[k])
+        if v.dtype == bf16:
+            spec16.append((k, off16, v.size, v.shape))
+            parts16.append(v.reshape(-1))
+            off16 += v.size
+        else:
+            kind = "i32" if v.dtype in (np.int32, np.int64) else "f32"
+            flat = (v.astype(np.int32).view(np.float32) if kind == "i32"
+                    else v.astype(np.float32)).reshape(-1)
+            spec32.append((k, off32, v.size, v.shape, kind))
+            parts32.append(flat)
+            off32 += v.size
+    buf32 = np.concatenate(parts32) if parts32 else np.zeros(1, np.float32)
+    buf16 = np.concatenate(parts16) if parts16 else np.zeros(1, bf16)
+    dev = _unpack_fn(tuple(spec32), tuple(spec16))(jnp.asarray(buf32),
+                                                   jnp.asarray(buf16))
+    return dict(dev)
+
+
+@functools.lru_cache(maxsize=16)
+def _unpack_fn(spec32, spec16):
+    """Compile one device-side unpack program per scene shape signature."""
+
+    @jax.jit
+    def unpack(buf32, buf16):
+        out = {}
+        for name, off, size, shape, kind in spec32:
+            a = buf32[off:off + size]
+            if kind == "i32":
+                a = jax.lax.bitcast_convert_type(a, jnp.int32)
+            out[name] = a.reshape(shape)
+        for name, off, size, shape in spec16:
+            out[name] = buf16[off:off + size].reshape(shape)
+        return out
+
+    return unpack
 
 
 def pos_norm(v):
