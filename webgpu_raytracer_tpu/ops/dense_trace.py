@@ -624,7 +624,9 @@ def ray_color_dense(wt: WorldTris, textures, ro: V3, rd: V3, rng,
 
         return jax.lax.cond(live.sum() <= r_new, compact, full, s)
 
-    stages = [sv for sv in tune.tail_stages if 0 < sv[0] < max_depth]
+    sched = (tune.tail_stages_multitile if wt.featk3.shape[0] > 1
+             else tune.tail_stages)
+    stages = [sv for sv in sched if 0 < sv[0] < max_depth]
     if R < tune.tail_min_r:
         stages = []
     return _run_from(0, state, tuple(stages))

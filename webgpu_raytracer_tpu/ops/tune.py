@@ -64,6 +64,12 @@ class TuneConfig(NamedTuple):
     # onward live lanes run in a static ceil(R/div) buffer. Depths ascend;
     # budgets are relative to the ORIGINAL R.
     tail_stages: Tuple[Tuple[int, int], ...] = ((5, 16),)
+    # Schedule for MULTI-TILE (two-level-sweep) scenes: open scenes like
+    # `spheres` lose most lanes to escape by bounce 2 (measured live ~27%),
+    # so an early stage pays there (frame 710 -> 597 ms, r4) while closed
+    # single-tile scenes overflow it and eat ~1.2 ms/frame of cond overhead
+    # (cornell 512: 8.0 -> 9.1 ms) — hence the static split on tile count.
+    tail_stages_multitile: Tuple[Tuple[int, int], ...] = ((2, 4), (5, 16))
     # Round tail budgets up to kernel-tile-friendly multiples.
     tail_align: int = 2048
     # No tail compaction below this lane count (small frames are
