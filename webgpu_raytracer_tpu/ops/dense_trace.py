@@ -93,7 +93,13 @@ def sample_texture_v3(textures, tex_idx, u, v) -> V3:
         wx = fx - x0
         wy = fy - y0
         flat = textures.reshape(-1, 4)
-        q = flat[(idx * TH + jnp.mod(y0, TH)) * TW + jnp.mod(x0, TW)]
+        # Lanes with no texture (miss/dead lanes carry has=False) gather
+        # row 0 instead of a garbage-uv scatter: their value is discarded
+        # below, and pinning them to one hot DRAM row keeps the gather's
+        # latency budget for the live lanes (late bounces run at <30%
+        # occupancy before tail compaction kicks in).
+        rows = (idx * TH + jnp.mod(y0, TH)) * TW + jnp.mod(x0, TW)
+        q = flat[jnp.where(has, rows, 0)]
 
         def corner(c):
             w = q[:, c]

@@ -119,11 +119,13 @@ class Renderer:
             # texture transfer entirely. The (level0, mip) pyramid feeds the
             # dense path (bounces >= 1 sample the mip — see
             # ops/dense_trace.tex_level); the BVH path reads level 0.
-            self._textures_np = tuple(
-                jnp.asarray(t) for t in build_quad_pyramid(self._textures_np))
+            pyr = build_quad_pyramid(self._textures_np)
+            if pyr[1] is pyr[0]:  # mip disabled: one table, one upload
+                self._textures_np = jnp.asarray(pyr[0])
+            else:
+                self._textures_np = tuple(jnp.asarray(t) for t in pyr)
         self.scene: DeviceScene = build_device_scene(
-            self.world,
-            textures=self._textures_np[0] if self._textures_np else None)
+            self.world, textures=self._tex_l0())
         n_world_tris = self._world_tri_count()
         self.backend = choose_backend(n_world_tris)
         self.wt = build_world_tris(self.world) if self.backend == "dense" else None
@@ -134,6 +136,12 @@ class Renderer:
         self._alloc_buffers()
 
     # -- lifecycle ---------------------------------------------------------
+
+    def _tex_l0(self):
+        from ..ops.dense_trace import tex_level
+
+        return (tex_level(self._textures_np, 0)
+                if self._textures_np is not None else None)
 
     def _world_tri_count(self) -> int:
         # One bincount over the topology, one gather per instance — O(T + I)
@@ -208,9 +216,8 @@ class Renderer:
         if self.backend == "dense":
             self.wt = build_world_tris(self.world)
         else:
-            self.scene = build_device_scene(
-                self.world,
-                textures=self._textures_np[0] if self._textures_np else None)
+            self.scene = build_device_scene(self.world,
+                                            textures=self._tex_l0())
         self.world.update_camera(self.width, self.height)
         self.camera = jnp.asarray(self.world.camera())
         if reset:

@@ -69,31 +69,31 @@ def pack_quad_table(tex: np.ndarray) -> np.ndarray:
     return np.stack(words, axis=-1)
 
 
-# Secondary-bounce mip size. The full quad table is 16 B/texel = 16.8 MB per
-# 1024^2 texture, and random-row gathers from multi-MB tables are HBM-
-# latency-bound (measured ~2x slower than <=1 MB-class tables —
-# tools/profile_textured.py). Secondary hits are spatially incoherent and
-# already filtered by Monte Carlo averaging, so bounces >= 1 sample a
-# box-filtered SECONDARY_MIP^2 mip (1 MB at 256): means are preserved by
-# construction (the golden gate checks mean radiance), only per-sample
-# secondary albedo is slightly blurred — the same trade every GPU renderer
-# makes by sampling non-zero mip levels on secondary rays. The reference
-# always samples level 0 (Raytracer.wgsl:666-672, textureSampleLevel(.., 0))
-# because its hardware sampler makes that free; on TPU the working-set cut
-# is the analogue of that hardware cache.
-SECONDARY_MIP = 256
+# Secondary-bounce mip size; None = mip DISABLED (both pyramid levels alias
+# the full-resolution table). MEASURED NEGATIVE RESULT (round 4, v5e,
+# textured GLB 1080p d8, in-session A/B): sampling a 256^2 (1 MB) box mip
+# on bounces >= 1 ran 58.7 Mrays/s where level-0-everywhere ran 95.1 —
+# gathers from the SMALL table are ~1.6x SLOWER per row than from the
+# 16.8 MB table (XLA picks a different gather emitter for small operands),
+# the opposite of the <=1 MB-class microbench extrapolation that motivated
+# the mip (tools/profile_textured.py). The pyramid plumbing stays (levels
+# are a one-line default away) but production samples level 0 everywhere,
+# exactly like the reference (Raytracer.wgsl:666-672
+# textureSampleLevel(.., 0)).
+SECONDARY_MIP = None
 
 
 def build_quad_pyramid(tex: np.ndarray,
-                       mip: int = SECONDARY_MIP) -> tuple:
+                       mip: int | None = SECONDARY_MIP) -> tuple:
     """(K, S, S, 3) f32 -> (level0, level1) packed quad tables.
 
     level0 is pack_quad_table at full resolution (primary hits / G-buffer
-    seeded bounce 0); level1 is a box-downsampled mip for bounces >= 1.
+    seeded bounce 0); level1 is a box-downsampled mip for bounces >= 1,
+    or level0 again when mip is None (the measured-faster default).
     """
     l0 = pack_quad_table(tex)
     k, s = tex.shape[0], tex.shape[1]
-    if s <= mip:
+    if mip is None or s <= mip:
         return l0, l0
     f = s // mip
     small = tex[:, : mip * f, : mip * f].reshape(k, mip, f, mip, f, 3) \
