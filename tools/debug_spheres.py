@@ -71,8 +71,8 @@ def main():
         tune = TuneConfig(debug2="" if name == "normal" else name)
         f = jax.jit(lambda o, d, tm, tune=tune: pd._run2(
             wt, o, d, tm, act, 1e-3, False, False, tune=tune))
-        jax.block_until_ready(f(o, d, tm))
-        fns[name] = f
+        np.asarray(f(o, d, tm)[0])  # np.asarray: block_until_ready is
+        fns[name] = f               # unreliable over the axon tunnel
         print(f"compiled {name}", flush=True)
 
     for rnd in range(4):
@@ -81,7 +81,7 @@ def main():
             t0 = time.perf_counter()
             for _ in range(5):
                 out = f(o, d, tm)
-            jax.block_until_ready(out)
+            np.asarray(out[0])  # device executes in order: one readback
             line.append(f"{name}: {(time.perf_counter() - t0) / 5 * 1e3:7.2f} ms")
         print(f"round {rnd}: " + "   ".join(line), flush=True)
 

@@ -337,10 +337,12 @@ def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, cull8_ref, tmax_ref,
     stats_ref = refs.pop(2 + with_row) if with_stats else None
     if with_row:
         out_t_ref, out_i_ref, out_row_ref = refs[:3]
-        feat_buf, shade_buf, semf, sems, open8, maxt_s, qk_s = refs[3:]
+        (feat_buf, shade_buf, semf, sems, open8, maxt_s, qk_s,
+         committed, upd1024) = refs[3:]
     else:
         out_t_ref, out_i_ref = refs[:2]
-        feat_buf, shade_buf, semf, sems, open8, maxt_s, qk_s = refs[2:]
+        (feat_buf, shade_buf, semf, sems, open8, maxt_s, qk_s,
+         committed, upd1024) = refs[2:]
     i = pl.program_id(0)
     count = scal_ref[1 + i]
     row_on = scal_ref[0] <= i
@@ -407,12 +409,11 @@ def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, cull8_ref, tmax_ref,
         open8[:] = new_open
         maxt_s[0] = jnp.max(jnp.minimum(new_open * dlen8, wcap8))
 
-    def cull(k):
-        """Per-lane sphere test for sorted-survivor k; True if any lane's
-        open interval can touch the cluster — gates both the DMA and the
-        matmul, so skipped clusters cost only this test (a handful of
-        full-vreg VPU ops on the (n_sub, 128) cull operands)."""
-        cidx = surv_ref[0, 0, k]
+    def interval_possible(cidx):
+        """Per-lane sphere-interval test vs the cached open interval: which
+        lanes of the tile could still hit cluster `cidx`. Shared by the
+        scan-side cull (any-lane gate on DMA+matmul) and the process-side
+        WINDOW gate (per-128-lane-sublane-row epilogue skipping)."""
         sph = sph_ref[pl.ds(cidx, 1), :]  # (1, 128) [cx, cy, cz, r, ...]
         cx, cy, cz, r = sph[0, 0], sph[0, 1], sph[0, 2], sph[0, 3]
         ocx = ox8 - cx
@@ -423,9 +424,15 @@ def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, cull8_ref, tmax_ref,
         disc = b * b - dd8 * cc
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
         lt = open8[:]
-        possible = (disc >= 0.0) & (lt > 0.0) \
-            & (-b + sq >= dd8 * t_min) & (-b - sq <= dd8 * lt)
-        hit = jnp.max(possible.astype(jnp.float32)) > 0.0
+        return ((disc >= 0.0) & (lt > 0.0)
+                & (-b + sq >= dd8 * t_min) & (-b - sq <= dd8 * lt))
+
+    def cull(k):
+        """Any-lane gate for sorted-survivor k: gates both the DMA and the
+        matmul, so skipped clusters cost only this test (a handful of
+        full-vreg VPU ops on the (n_sub, 128) cull operands)."""
+        hit = jnp.max(
+            interval_possible(surv_ref[0, 0, k]).astype(jnp.float32)) > 0.0
         if debug == "nocull":
             return hit | True
         return hit
@@ -433,18 +440,35 @@ def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, cull8_ref, tmax_ref,
 
     def process_batch(nproc, nv):
         """Intersect the `nv` (<= batch) oldest queued clusters against the
-        ray tile with ONE stacked matmul.
+        ray tile with ONE stacked matmul, then run WINDOWED epilogues.
 
         One full-tile matmul per batch: gating the matmul per 128-lane
         group was measured ~4x SLOWER per processed cluster (MXU cost is
         pipeline-fill-dominated at K=32 — (4C, 32) x (32, 128) costs nearly
         as much as x (32, 1024)), so both M and the stacked output rows are
-        nearly free and the commit amortizes across the batch. nproc is
+        nearly free and the matmul amortizes across the batch. nproc is
         always batch-aligned when nv == batch (mid-scan processing only
         fires on full batches; partial batches only drain the final tail),
-        so a batch always sits inside one buffer. The unused tail slice is
-        ZEROED — zero features give td == 0 which self-culls — and its
-        one-hot is gated, so a short batch is exact."""
+        so a batch always sits inside one buffer.
+
+        The EPILOGUE is the VPU floor of the survivor loop (the (4C, M)
+        elementwise chain + reductions scale with clusters x lanes), and
+        most of it is wasted: a processed cluster is typically needed by a
+        handful of lanes, not the whole tile. Each cluster therefore
+        re-runs the sphere-interval test at process time (against the
+        CURRENT open interval — tighter than the scan-time cull that
+        enqueued it) and runs the epilogue only on the 128-lane WINDOWS
+        (sublane rows of the vreg-tiled cull operands = static 128-column
+        slices of resT) with a surviving lane. Skipped windows cannot
+        change the output: the cluster bounding sphere contains its
+        triangles, so a lane whose window fails the interval test against
+        open8 (== the running best, since out_t <= tmax always) has no
+        triangle hit below its running best — the same containment
+        argument that makes the scan-side cull exact. Commits run
+        sequentially per (cluster, window) with strict <, which is
+        identical to the old combined earlier-batch-wins-ties order.
+        Stale positions past nv are never read (every window epilogue is
+        gated on nv > b), so short drain batches need no buffer zeroing."""
         pos0 = jax.lax.rem(nproc, depth)
         buf = pos0 // batch
         dma_feat(qk_s[pos0], pos0).wait()
@@ -457,93 +481,80 @@ def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, cull8_ref, tmax_ref,
                 if with_row:
                     dma_shade(qk_s[pos0 + b], pos0 + b).wait()
 
-        # Zero exactly the batch positions past nv (short batches only occur
-        # in the final drain): zero features give td == 0, which self-culls.
-        # The shade half must be zeroed as well: the one-hot matmul
-        # contracts over the WHOLE batch-wide buffer, and 0 x garbage
-        # (stale or uninitialized columns) is not 0 once the garbage is
-        # NaN. Per-position static slices gated on nv <= b — a single
-        # "zero everything past position 0" write (the old batch==2 code)
-        # silently zeroed REAL queued clusters for batch > 2 drains.
-        for b in range(1, batch):
-            @pl.when(nv <= b)
-            def _zero_pos(b=b):
-                feat_buf[buf, :, pl.ds(b * 4 * c_tile, 4 * c_tile)] = (
-                    jnp.zeros((feat_buf.shape[1], 4 * c_tile),
-                              feat_buf.dtype))
-                if with_row:
-                    shade_buf[buf, :, pl.ds(b * 3 * c_tile, 3 * c_tile)] = (
-                        jnp.zeros((shade_buf.shape[1], 3 * c_tile),
-                                  shade_buf.dtype))
-
         resT = jax.lax.dot_general(
             feat_buf[buf], rayk3_ref[:],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-        if any_hit:
-            hit_any = None
-            for b in range(batch):
-                base = 4 * b * c_tile
-                s0 = resT[base + 0 * c_tile: base + 1 * c_tile]
-                s1 = resT[base + 1 * c_tile: base + 2 * c_tile]
-                s2 = resT[base + 2 * c_tile: base + 3 * c_tile]
-                tn = resT[base + 3 * c_tile: base + 4 * c_tile]
-                td = s0 + s1 + s2
-                inside = (jnp.minimum(jnp.minimum(s0, s1), s2) >= 0.0) | (
-                    jnp.maximum(jnp.maximum(s0, s1), s2) <= 0.0)
-                ok = inside & (jnp.abs(td) >= 1e-6)
-                t = tn / jnp.where(ok, td, 1.0)
-                ok = ok & (t > t_min) & (t < tmax_ref[:])
-                h = jnp.max(ok.astype(jnp.float32), axis=0, keepdims=True)
-                hit_any = h if hit_any is None else jnp.maximum(hit_any, h)
-            out_t_ref[:] = jnp.maximum(out_t_ref[:], hit_any)
-            refresh_open()
-            return
-
-        # Per-cluster epilogues, combined with the EARLIER batch half
-        # winning ties — exactly the sequential strict-< commit order.
-        cur_min = None
-        cur_idx = None
-        cols = []
+        committed[0] = jnp.int32(0)
+        if with_row:
+            upd1024[:] = jnp.zeros_like(upd1024)
         for b in range(batch):
             base = 4 * b * c_tile
-            s0 = resT[base + 0 * c_tile: base + 1 * c_tile]
-            s1 = resT[base + 1 * c_tile: base + 2 * c_tile]
-            s2 = resT[base + 2 * c_tile: base + 3 * c_tile]
-            tn = resT[base + 3 * c_tile: base + 4 * c_tile]
-            td = s0 + s1 + s2  # Plucker identity: edge crosses sum to n
-            inside = (jnp.minimum(jnp.minimum(s0, s1), s2) >= 0.0) | (
-                jnp.maximum(jnp.maximum(s0, s1), s2) <= 0.0)
-            ok = inside & (jnp.abs(td) >= 1e-6)
-            t = tn / jnp.where(ok, td, 1.0)
-            ok = ok & (t > t_min) & (t < tmax_ref[:])
-            tm = jnp.where(ok, t, jnp.float32(T_MAX))
             cidx_b = surv_ref[0, 0, qk_s[jnp.minimum(pos0 + b, depth - 1)]]
-            col = cidx_b * c_tile + jax.lax.broadcasted_iota(
-                jnp.int32, tm.shape, 0)
-            bmin = jnp.min(tm, axis=0, keepdims=True)
-            bidx = jnp.min(jnp.where(tm <= bmin, col, jnp.int32(2 ** 30)),
-                           axis=0, keepdims=True)
-            cols.append(col)
-            if cur_min is None:
-                cur_min, cur_idx = bmin, bidx
-            else:
-                take = bmin < cur_min
-                cur_idx = jnp.where(take, bidx, cur_idx)
-                cur_min = jnp.where(take, bmin, cur_min)
-        upd = cur_min < out_t_ref[:]
-        any_upd = jnp.max(upd.astype(jnp.float32)) > 0.0
+            possible = interval_possible(cidx_b).astype(jnp.float32)
+            if debug == "nocull":
+                possible = possible + 1.0
+            # ONE vector reduction packs all window flags into a scalar
+            # (window w set -> bit w): per-window gates are then scalar-core
+            # bit tests, not 8 separate vector-to-scalar reductions.
+            wflags = (jnp.max(possible, axis=1, keepdims=True)
+                      > 0.0).astype(jnp.int32)
+            wbits = jnp.sum(wflags << jax.lax.broadcasted_iota(
+                jnp.int32, (n_sub, 1), 0))
+            for w in range(n_sub):
+                wflag = (wbits & (1 << w)) > 0
 
-        # Most processed clusters beat no lane's running best (the
-        # near-to-far order means early clusters usually win): gate the
-        # accumulator writes, interval refresh, and especially the
-        # row-fetch matmul on "any lane improved".
-        @pl.when(any_upd)
-        def _commit():
-            out_t_ref[:] = jnp.where(upd, cur_min, out_t_ref[:])
-            out_i_ref[:] = jnp.where(upd, cur_idx.astype(jnp.float32),
-                                     out_i_ref[:])
+                @pl.when(wflag & (nv > b))
+                def _window(b=b, w=w, base=base, cidx_b=cidx_b):
+                    sl = slice(w * 128, (w + 1) * 128)
+                    s0 = resT[base + 0 * c_tile: base + 1 * c_tile, sl]
+                    s1 = resT[base + 1 * c_tile: base + 2 * c_tile, sl]
+                    s2 = resT[base + 2 * c_tile: base + 3 * c_tile, sl]
+                    tn = resT[base + 3 * c_tile: base + 4 * c_tile, sl]
+                    td = s0 + s1 + s2  # Plucker identity: edge crosses
+                    inside = (jnp.minimum(jnp.minimum(s0, s1), s2) >= 0.0) \
+                        | (jnp.maximum(jnp.maximum(s0, s1), s2) <= 0.0)
+                    ok = inside & (jnp.abs(td) >= 1e-6)
+                    t = tn / jnp.where(ok, td, 1.0)
+                    ok = ok & (t > t_min) & (t < tmax_ref[:, sl])
+                    if any_hit:
+                        h = jnp.max(ok.astype(jnp.float32), axis=0,
+                                    keepdims=True)
+                        out_t_ref[:, sl] = jnp.maximum(out_t_ref[:, sl], h)
+                        committed[0] = jnp.int32(1)
+                        return
+                    tm = jnp.where(ok, t, jnp.float32(T_MAX))
+                    col = cidx_b * c_tile + jax.lax.broadcasted_iota(
+                        jnp.int32, tm.shape, 0)
+                    bmin = jnp.min(tm, axis=0, keepdims=True)
+                    upd = bmin < out_t_ref[:, sl]
+                    any_upd = jnp.max(upd.astype(jnp.float32)) > 0.0
+
+                    @pl.when(any_upd)
+                    def _commit():
+                        committed[0] = jnp.int32(1)
+                        bidx = jnp.min(
+                            jnp.where(tm <= bmin, col, jnp.int32(2 ** 30)),
+                            axis=0, keepdims=True)
+                        new_t = jnp.where(upd, bmin, out_t_ref[:, sl])
+                        new_i = jnp.where(upd, bidx.astype(jnp.float32),
+                                          out_i_ref[:, sl])
+                        out_t_ref[:, sl] = new_t
+                        out_i_ref[:, sl] = new_i
+                        if with_row:
+                            upd1024[:, sl] = jnp.where(
+                                upd, 1.0, upd1024[:, sl])
+
+        # One interval/reach refresh + (with_row) ONE full-M row fetch per
+        # COMMITTING batch: a per-window one-hot matmul is fill-bound
+        # (K = 3C) and measured ~2x the whole frame's row cost — the fetch
+        # must amortize across the batch like the matmul does. upd1024
+        # marks the lanes any window of this batch improved; the winner of
+        # each such lane is out_i (column ids are globally unique), so the
+        # old batch-combined one-hot reconstructs exactly.
+        @pl.when(committed[0] > 0)
+        def _refresh():
             refresh_open()
             if with_row:
                 out_row_ref[SHADE_K:SHADE_K + 1, :] = out_t_ref[:]
@@ -551,21 +562,22 @@ def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, cull8_ref, tmax_ref,
 
                 @pl.when(row_on)
                 def _fetch_row():
-                    # One-hot per batch half against ITS column ids; halves
-                    # past nv are gated off (their buffer slice holds stale
-                    # rows from an earlier batch whose ids could collide
-                    # with the winner).
+                    updm = upd1024[:] > 0.0
+                    win = out_i_ref[:].astype(jnp.int32)
                     parts = []
                     for b in range(batch):
-                        oh_b = (cols[b] == cur_idx) & upd & (nv > b)
-                        oh_b = oh_b.astype(jnp.bfloat16)
+                        cidx_b = surv_ref[
+                            0, 0, qk_s[jnp.minimum(pos0 + b, depth - 1)]]
+                        col_b = cidx_b * c_tile + jax.lax.broadcasted_iota(
+                            jnp.int32, (c_tile, out_i_ref.shape[1]), 0)
+                        oh_b = ((col_b == win) & updm
+                                & (nv > b)).astype(jnp.bfloat16)
                         parts.extend([oh_b, oh_b, oh_b])
                     oh3 = jnp.concatenate(parts, axis=0)
                     rowT_new = jnp.dot(shade_buf[buf], oh3,
                                        preferred_element_type=jnp.float32)
                     out_row_ref[0:SHADE_K, :] = jnp.where(
-                        upd, rowT_new[:SHADE_K],
-                        out_row_ref[0:SHADE_K, :])
+                        updm, rowT_new[:SHADE_K], out_row_ref[0:SHADE_K, :])
 
     # Prefetch-queue survivor loop: the SCAN (cull + DMA-start) runs up to
     # `depth` surviving clusters ahead of PROCESSING, so a survivor's HBM
@@ -841,6 +853,8 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
             pltpu.VMEM((n_sub, 128), jnp.float32),   # open8
             pltpu.SMEM((1,), jnp.float32),           # maxt_s
             pltpu.SMEM((tune.prefetch_depth,), jnp.int32),  # queued idx
+            pltpu.SMEM((1,), jnp.int32),             # batch committed flag
+            pltpu.VMEM((1, m_tile2), jnp.float32),   # upd1024 (batch upd)
         ],
     )
 
