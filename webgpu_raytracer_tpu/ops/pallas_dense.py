@@ -467,8 +467,12 @@ def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, cull8_ref, tmax_ref,
         argument that makes the scan-side cull exact. Commits run
         sequentially per (cluster, window) with strict <, which is
         identical to the old combined earlier-batch-wins-ties order.
-        Stale positions past nv are never read (every window epilogue is
-        gated on nv > b), so short drain batches need no buffer zeroing."""
+        Stale FEATURE positions past nv are never read (every window
+        epilogue is gated on nv > b) so the feat half needs no zeroing —
+        but the SHADE half must be zeroed on short drains: the row-fetch
+        one-hot matmul contracts over the WHOLE batch-wide buffer, and
+        0 x garbage is not 0 once the garbage is NaN (uninitialized VMEM
+        on the first partial drain)."""
         pos0 = jax.lax.rem(nproc, depth)
         buf = pos0 // batch
         dma_feat(qk_s[pos0], pos0).wait()
@@ -480,6 +484,12 @@ def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, cull8_ref, tmax_ref,
                 dma_feat(qk_s[pos0 + b], pos0 + b).wait()
                 if with_row:
                     dma_shade(qk_s[pos0 + b], pos0 + b).wait()
+            if with_row:
+                @pl.when(nv <= b)
+                def _zero_shade(b=b):
+                    shade_buf[buf, :, pl.ds(b * 3 * c_tile, 3 * c_tile)] = (
+                        jnp.zeros((shade_buf.shape[1], 3 * c_tile),
+                                  shade_buf.dtype))
 
         resT = jax.lax.dot_general(
             feat_buf[buf], rayk3_ref[:],
@@ -502,6 +512,8 @@ def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, cull8_ref, tmax_ref,
                       > 0.0).astype(jnp.int32)
             wbits = jnp.sum(wflags << jax.lax.broadcasted_iota(
                 jnp.int32, (n_sub, 1), 0))
+            if debug == "allwin":   # ablation: windowed code, no skipping
+                wbits = wbits | jnp.int32((1 << n_sub) - 1)
             for w in range(n_sub):
                 wflag = (wbits & (1 << w)) > 0
 
