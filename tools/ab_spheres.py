@@ -61,6 +61,9 @@ def main():
     elif mode == "sub":
         variants = {f"sub{v}": TuneConfig(subtile=v)
                     for v in (1024, 32, 8)}
+    elif mode == "seed":
+        variants = {f"seed{v}": TuneConfig(seed_k=v)
+                    for v in (0, 8, 16, 32)}
     else:
         variants = {"m1024": TuneConfig(m_tile2=1024),
                     "m512": TuneConfig(m_tile2=512)}

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 
 def tile_cluster_worklist_exact(rayfT, t_max, spheres, m_tile: int,
-                                chunk: int = 128):
+                                chunk: int = 128, t_cap=None):
     """EXACT per-lane sphere-interval worklists, unioned per ray tile.
 
     Replaces the cone broad phase with the same division-free ray/sphere
@@ -45,6 +45,12 @@ def tile_cluster_worklist_exact(rayfT, t_max, spheres, m_tile: int,
     segment can touch the cluster (max(dist_entry, 0)), tighter than the
     cone path's center-distance key; the kernel's sorted early exit
     compares them against the per-tile open-interval reach as before.
+
+    `t_cap` ((R,), ray-parameter units, optional) further clamps each
+    lane's interval: the two-phase seeded sweep passes phase A's per-lane
+    hit t here, so phase B's worklists shrink to the clusters a lane's
+    REMAINING open interval can touch (a valid cull: the true closest hit
+    satisfies t* <= t_cap, and any cluster containing it has entry <= t*).
 
     Same return contract as tile_cluster_worklist.
     """
@@ -72,6 +78,8 @@ def tile_cluster_worklist_exact(rayfT, t_max, spheres, m_tile: int,
         hi_ = jnp.maximum(t1, t2)
         t_exit = hi_ if t_exit is None else jnp.minimum(t_exit, hi_)
     t_clip = jnp.minimum(t_max, jnp.maximum(t_exit, 0.0))
+    if t_cap is not None:
+        t_clip = jnp.minimum(t_clip, t_cap)
     t_clip = jnp.where(live, t_clip, 0.0)
 
     ct = spheres.shape[0]

@@ -320,10 +320,10 @@ def _run(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
 
 
 def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, cull8_ref, tmax_ref,
-             sph_ref, featk3_hbm, shadek3_hbm, *refs,
+             *more_refs,
              t_min: float, any_hit: bool, with_row: bool, c_tile: int,
              with_stats: bool = False, debug: str = "", depth: int = 1,
-             batch: int = 1, scan_batch: int = 1):
+             batch: int = 1, scan_batch: int = 1, seeded: bool = False):
     # scal: [first_row_tile, count_0, count_1, ...]
     # surv: (1, 1, Ctp) SMEM — sorted surviving cluster ids for this tile
     # dist: (1, 1, Ctp) SMEM — matching sorted min-reach keys (monotone)
@@ -333,7 +333,13 @@ def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, cull8_ref, tmax_ref,
     # [j*n_sub:(j+1)*n_sub] = component j of [dx, dy, dz, ox, oy, oz, dlen,
     # wcap, tmax] (wcap = world-unit scene-slab reach cap, 0 for box-miss
     # lanes — precomputed in the _run2 prefix, was per-tile kernel code).
-    refs = list(refs)
+    assert not seeded or (with_row and not any_hit)
+    more_refs = list(more_refs)
+    # seeded: phase-A row output (SHADE_KP, M) precedes the sphere table —
+    # its SHADE_K / SHADE_K+1 mirror rows carry the seed t / idx.
+    seedrow_ref = more_refs.pop(0) if seeded else None
+    sph_ref, featk3_hbm, shadek3_hbm = more_refs[:3]
+    refs = more_refs[3:]
     stats_ref = refs.pop(2 + with_row) if with_stats else None
     if with_row:
         out_t_ref, out_i_ref, out_row_ref = refs[:3]
@@ -359,23 +365,35 @@ def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, cull8_ref, tmax_ref,
     tmax8 = cull8_ref[8 * n_sub:9 * n_sub, :]
     dd8 = dx8 * dx8 + dy8 * dy8 + dz8 * dz8
 
-    if any_hit:
-        out_t_ref[:] = jnp.zeros_like(out_t_ref)
+    if seeded:
+        # Seeded init: accumulators continue from phase A's output. The
+        # open interval starts at the seeded t (min with tmax is a no-op —
+        # phase A's out_t is tmax-bounded — kept for clarity).
+        out_row_ref[:] = seedrow_ref[:]
+        out_t_ref[:] = seedrow_ref[SHADE_K:SHADE_K + 1, :]
+        out_i_ref[:] = seedrow_ref[SHADE_K + 1:SHADE_K + 2, :]
+        t8s = out_t_ref[:].reshape(n_sub, 128)
+        open8[:] = jnp.minimum(tmax8, t8s)
+        maxt_s[0] = jnp.max(jnp.minimum(open8[:] * dlen8, wcap8))
     else:
-        out_t_ref[:] = tmax_ref[:]
-    out_i_ref[:] = jnp.full_like(out_i_ref, -1.0)
-    # Per-lane OPEN INTERVAL (t-units) + tile max reach (world units,
-    # scalar): cached in scratch and refreshed only when a processed cluster
-    # COMMITS (rare) — the skip-dominated survivor loop reads them for free
-    # instead of recomputing (1, M) reductions every iteration.
-    open8[:] = tmax8
-    maxt_s[0] = jnp.max(jnp.minimum(tmax8 * dlen8, wcap8))
-    if with_row:
-        # Rows SHADE_K / SHADE_K+1 mirror the t / idx accumulators so the
-        # epilogue recovers everything with ONE row-major gather.
-        out_row_ref[:] = jnp.zeros_like(out_row_ref)
-        out_row_ref[SHADE_K:SHADE_K + 1, :] = out_t_ref[:]
-        out_row_ref[SHADE_K + 1:SHADE_K + 2, :] = out_i_ref[:]
+        if any_hit:
+            out_t_ref[:] = jnp.zeros_like(out_t_ref)
+        else:
+            out_t_ref[:] = tmax_ref[:]
+        out_i_ref[:] = jnp.full_like(out_i_ref, -1.0)
+        # Per-lane OPEN INTERVAL (t-units) + tile max reach (world units,
+        # scalar): cached in scratch and refreshed only when a processed
+        # cluster COMMITS (rare) — the skip-dominated survivor loop reads
+        # them for free instead of recomputing (1, M) reductions every
+        # iteration.
+        open8[:] = tmax8
+        maxt_s[0] = jnp.max(jnp.minimum(tmax8 * dlen8, wcap8))
+        if with_row:
+            # Rows SHADE_K / SHADE_K+1 mirror the t / idx accumulators so
+            # the epilogue recovers everything with ONE row-major gather.
+            out_row_ref[:] = jnp.zeros_like(out_row_ref)
+            out_row_ref[SHADE_K:SHADE_K + 1, :] = out_t_ref[:]
+            out_row_ref[SHADE_K + 1:SHADE_K + 2, :] = out_i_ref[:]
 
     # Queue position p (0..depth-1) lands in batch buffer p // batch at
     # column slice p % batch, so a full batch sits contiguous for ONE
@@ -672,6 +690,11 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
     from .cluster_cull import (tile_cluster_worklist,
                                tile_cluster_worklist_exact)
 
+    # The queue buffers are laid out as (depth // batch) batch-contiguous
+    # blocks; partial drains zero per-position — both assume batch | depth.
+    assert tune.prefetch_depth % tune.proc_batch == 0, (
+        "TuneConfig.proc_batch must divide prefetch_depth "
+        f"({tune.proc_batch} vs {tune.prefetch_depth})")
     m_tile2 = tune.m_tile2
     rox, roy, roz = ro
     rdx, rdy, rdz = rd
@@ -809,39 +832,39 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
     cull8 = cull8.reshape(9, n_ray_tiles, n_sub, 128) \
         .transpose(1, 0, 2, 3).reshape(n_ray_tiles * 9 * n_sub, 128)
     ct_pad = (-n_clusters) % 128
-    if ct_pad:
-        order = jnp.pad(order, ((0, 0), (0, ct_pad)))
-        keys = jnp.pad(keys, ((0, 0), (0, ct_pad)),
-                       constant_values=jnp.float32(3e38))
-    order = order[:, None, :]  # (T, 1, Ctp) — Mosaic block-shape friendly
-    keys = keys[:, None, :]
 
-    scal = jnp.concatenate([
-        jnp.asarray([first_row_tile], jnp.int32), counts])
+    def launch(order, keys, counts, seed_row=None, stats=False):
+        if ct_pad:
+            order = jnp.pad(order, ((0, 0), (0, ct_pad)))
+            keys = jnp.pad(keys, ((0, 0), (0, ct_pad)),
+                           constant_values=jnp.float32(3e38))
+        order = order[:, None, :]  # (T, 1, Ctp) — Mosaic block-friendly
+        keys = keys[:, None, :]
+        scal = jnp.concatenate([
+            jnp.asarray([first_row_tile], jnp.int32), counts])
 
-    out_specs = [
-        pl.BlockSpec((1, m_tile2), lambda i, v: (0, i)),
-        pl.BlockSpec((1, m_tile2), lambda i, v: (0, i)),
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((1, rp), jnp.float32),
-        jax.ShapeDtypeStruct((1, rp), jnp.float32),
-    ]
-    if with_row:
-        # SHADE_KP rows: 0:SHADE_K = winner shade rows, SHADE_K / SHADE_K+1
-        # mirror t / idx so ONE row-major gather un-permutes everything.
-        out_specs.append(pl.BlockSpec((SHADE_KP, m_tile2),
-                                      lambda i, v: (0, i)))
-        out_shape.append(jax.ShapeDtypeStruct((SHADE_KP, rp), jnp.float32))
-    if with_stats:
-        out_specs.append(pl.BlockSpec((1, 128), lambda i, v: (0, i)))
-        out_shape.append(jax.ShapeDtypeStruct((1, n_ray_tiles * 128),
-                                              jnp.float32))
+        out_specs = [
+            pl.BlockSpec((1, m_tile2), lambda i, v: (0, i)),
+            pl.BlockSpec((1, m_tile2), lambda i, v: (0, i)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((1, rp), jnp.float32),
+            jax.ShapeDtypeStruct((1, rp), jnp.float32),
+        ]
+        if with_row:
+            # SHADE_KP rows: 0:SHADE_K = winner shade rows, SHADE_K /
+            # SHADE_K+1 mirror t / idx so ONE row-major gather un-permutes
+            # everything.
+            out_specs.append(pl.BlockSpec((SHADE_KP, m_tile2),
+                                          lambda i, v: (0, i)))
+            out_shape.append(jax.ShapeDtypeStruct((SHADE_KP, rp),
+                                                  jnp.float32))
+        if stats:
+            out_specs.append(pl.BlockSpec((1, 128), lambda i, v: (0, i)))
+            out_shape.append(jax.ShapeDtypeStruct((1, n_ray_tiles * 128),
+                                                  jnp.float32))
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_ray_tiles,),
-        in_specs=[
+        in_specs = [
             pl.BlockSpec((1, 1, order.shape[2]), lambda i, v: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, order.shape[2]), lambda i, v: (i, 0, 0),
@@ -849,41 +872,75 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
             pl.BlockSpec((FEAT_K3, m_tile2), lambda i, v: (0, i)),
             pl.BlockSpec((9 * n_sub, 128), lambda i, v: (i, 0)),
             pl.BlockSpec((1, m_tile2), lambda i, v: (0, i)),
+        ]
+        operands = [scal, order, keys, rayk3, cull8, t_max[None, :]]
+        if seed_row is not None:
+            in_specs.append(pl.BlockSpec((SHADE_KP, m_tile2),
+                                         lambda i, v: (0, i)))
+            operands.append(seed_row)
+        in_specs += [
             # cluster-sphere table, resident in VMEM
             pl.BlockSpec((n_clusters, 128), lambda i, v: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),   # featk3 (HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),   # shadek3 (HBM)
-        ],
-        out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((tune.prefetch_depth // tune.proc_batch, FEAT_K3,
-                        tune.proc_batch * 4 * c), jnp.bfloat16),
-            pltpu.VMEM((tune.prefetch_depth // tune.proc_batch, SHADE_KP,
-                        tune.proc_batch * 3 * c), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((tune.prefetch_depth,)),
-            pltpu.SemaphoreType.DMA((tune.prefetch_depth,)),
-            pltpu.VMEM((n_sub, 128), jnp.float32),   # open8
-            pltpu.SMEM((1,), jnp.float32),           # maxt_s
-            pltpu.SMEM((tune.prefetch_depth,), jnp.int32),  # queued idx
-            pltpu.SMEM((1,), jnp.int32),             # batch committed flag
-            pltpu.VMEM((1, m_tile2), jnp.float32),   # upd1024 (batch upd)
-        ],
-    )
+        ]
+        operands += [sph_flat, featk3, shadek3]
 
-    outs = pl.pallas_call(
-        functools.partial(_kernel2, t_min=t_min, any_hit=any_hit,
-                          with_row=with_row, c_tile=c,
-                          with_stats=with_stats, debug=tune.debug2,
-                          depth=tune.prefetch_depth, batch=tune.proc_batch,
-                          scan_batch=tune.scan_batch),
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        interpret=interpret,
-    )(scal, order, keys, rayk3, cull8, t_max[None, :], sph_flat, featk3,
-      shadek3)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_ray_tiles,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((tune.prefetch_depth // tune.proc_batch, FEAT_K3,
+                            tune.proc_batch * 4 * c), jnp.bfloat16),
+                pltpu.VMEM((tune.prefetch_depth // tune.proc_batch,
+                            SHADE_KP, tune.proc_batch * 3 * c),
+                           jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((tune.prefetch_depth,)),
+                pltpu.SemaphoreType.DMA((tune.prefetch_depth,)),
+                pltpu.VMEM((n_sub, 128), jnp.float32),   # open8
+                pltpu.SMEM((1,), jnp.float32),           # maxt_s
+                pltpu.SMEM((tune.prefetch_depth,), jnp.int32),  # queued idx
+                pltpu.SMEM((1,), jnp.int32),             # committed flag
+                pltpu.VMEM((1, m_tile2), jnp.float32),   # upd1024
+            ],
+        )
+
+        return pl.pallas_call(
+            functools.partial(_kernel2, t_min=t_min, any_hit=any_hit,
+                              with_row=with_row, c_tile=c,
+                              with_stats=stats, debug=tune.debug2,
+                              depth=tune.prefetch_depth,
+                              batch=tune.proc_batch,
+                              scan_batch=tune.scan_batch,
+                              seeded=seed_row is not None),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(*operands)
+
+    two_phase = bool(tune.seed_k) and with_row and not any_hit \
+        and tune.exact_cull
+    if two_phase:
+        # Phase A: sweep only the nearest seed_k worklist entries per tile
+        # (the near-to-far head — cheap, and for surface-launched rays it
+        # usually finds the actual closest hit). Phase B: re-cull with each
+        # lane's phase-A t as its interval cap (tile_cluster_worklist_exact
+        # t_cap) and continue from the seeded accumulators. Tiles fully
+        # processed in phase A (count <= seed_k) are skipped outright.
+        outs_a = launch(order, keys, jnp.minimum(counts, tune.seed_k))
+        row_a = outs_a[2]
+        order_b, keys_b, counts_b = tile_cluster_worklist_exact(
+            rayfT, t_max, sph_flat, m_tile2, t_cap=row_a[SHADE_K])
+        counts_b = jnp.where(counts <= tune.seed_k, 0, counts_b)
+        outs = launch(order_b, keys_b, counts_b, seed_row=row_a,
+                      stats=with_stats)
+    else:
+        outs = launch(order, keys, counts, stats=with_stats)
 
     # Un-permute: with_row recovers rows + t + idx with ONE (R, SHADE_KP)
     # row-major gather; the slim paths use single-vector gathers.

@@ -55,8 +55,20 @@ class TuneConfig(NamedTuple):
     # Must divide prefetch_depth. 4 amortizes the commit/epilogue another
     # ~5% over 2 (r4 sweep; short drain batches zero per-position).
     proc_batch: int = 4
+    # Two-phase SEEDED sweep (0 = off): phase A processes only the nearest
+    # `seed_k` worklist entries per tile (cheap — the near-to-far order's
+    # head), then the exact broad phase re-runs with each lane's phase-A
+    # hit t as its interval cap and phase B sweeps the re-culled (much
+    # shorter) worklists starting from the seeded accumulators. Rationale:
+    # the in-kernel running-best cull cannot shrink the SCAN (it must visit
+    # every worklist entry to cull it), while the XLA-side dense re-cull
+    # tests pairs ~100x cheaper per test — so discovering a near hit first
+    # and re-culling per lane attacks both halves of the survivor loop.
+    seed_k: int = 0
     # Measurement-only kernel ablations ("" = off; "noproc" = cull+DMA only;
-    # "nocull" = process every reachable survivor). tools/debug_spheres.py.
+    # "nocull" = process every reachable survivor; "allwin" = windowed
+    # epilogue code with window skipping disabled). These are research
+    # switches for tools/debug_spheres.py A/Bs, not product knobs.
     debug2: str = ""
 
     # --- bounce loop (ops/dense_trace) --------------------------------------
