@@ -63,7 +63,10 @@ def main():
                     for v in (1024, 32, 8)}
     elif mode == "seed":
         variants = {f"seed{v}": TuneConfig(seed_k=v)
-                    for v in (0, 8, 16, 32)}
+                    for v in (0, 16)}
+    elif mode == "seedk":
+        variants = {f"seed{v}": TuneConfig(seed_k=v)
+                    for v in (8, 16, 32)}
     else:
         variants = {"m1024": TuneConfig(m_tile2=1024),
                     "m512": TuneConfig(m_tile2=512)}
