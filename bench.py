@@ -207,9 +207,63 @@ def golden_fields(name, mean_rad, check):
     return {"golden_ok": ok}
 
 
+def soak(argv):
+    """BASELINE config 5's operating point, single chip: a long progressive
+    1080p accumulation through the PRODUCT Renderer, checkpointed mid-run
+    (render/checkpoint.py) and resumed into a FRESH renderer; asserts the
+    resumed accumulation is BIT-IDENTICAL to the uninterrupted run and
+    reports accumulated spp/sec. `--soak-spp N` overrides the 1024 target
+    (use a small N for a smoke pass)."""
+    import os
+    import tempfile
+
+    from webgpu_raytracer_tpu.config import RenderConfig
+    from webgpu_raytracer_tpu.render.checkpoint import (load_checkpoint,
+                                                        save_checkpoint)
+    from webgpu_raytracer_tpu.render.renderer import Renderer
+
+    target = 1024
+    if "--soak-spp" in argv:
+        target = int(argv[argv.index("--soak-spp") + 1])
+    cfg = RenderConfig(width=1920, height=1080, max_depth=8, shader_spp=1)
+
+    r = Renderer("cornell", config=cfg)
+    r.render_frame()
+    np.asarray(r.accum)  # warm/compile
+
+    # Uninterrupted reference run (timed).
+    r2 = Renderer("cornell", config=cfg)
+    t0 = time.perf_counter()
+    for _ in range(target):
+        r2.render_frame()
+    ref = np.asarray(r2.accum)
+    wall = time.perf_counter() - t0
+
+    # Interrupted run: checkpoint at half, restore into a fresh renderer.
+    half = target // 2
+    r3 = Renderer("cornell", config=cfg)
+    for _ in range(half):
+        r3.render_frame()
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="wrt_soak"), "ck")
+    save_checkpoint(ckpt, r3)
+    r4 = Renderer("cornell", config=cfg)
+    assert load_checkpoint(ckpt, r4), "checkpoint restore failed"
+    for _ in range(target - half):
+        r4.render_frame()
+    resumed = np.asarray(r4.accum)
+    bitexact = bool((ref == resumed).all())
+
+    emit("soak_1080p_progressive_spp_per_sec", target / wall, "spp/s",
+         accumulated_spp=target, wall_s=round(wall, 1),
+         bitexact_resume=bitexact)
+    return 0 if bitexact else 1
+
+
 def main(argv):
     check = "--no-check" not in argv  # correctness gate is DEFAULT-ON
     quick = "--quick" in argv
+    if "--soak" in argv:
+        return soak(argv)
     rt = tunnel_rt()
 
     # --- config 2 (HEADLINE): cornell 512x512 depth 8 ---
