@@ -23,7 +23,7 @@ import pytest
 
 from webgpu_raytracer_tpu.models.native import NativeWorld
 from webgpu_raytracer_tpu.ops.dense import dense_closest, dense_shadow
-from webgpu_raytracer_tpu.ops.pallas_dense import _run2
+from webgpu_raytracer_tpu.ops.pallas_dense import _run2, _run3
 from webgpu_raytracer_tpu.ops.tune import TuneConfig
 from webgpu_raytracer_tpu.render.worldtris import build_world_tris
 
@@ -276,6 +276,69 @@ def test_drain_shapes_bit_identical(drain_world, drain_ref, tune):
     wt, ro, rd, act, tmax = drain_world
     t0, i0, row0 = drain_ref
     t1, i1, row1 = _run2(wt, ro, rd, tmax, act, 1e-3, False, True,
+                         interpret=True, tune=tune)
+    np.testing.assert_array_equal(i0, np.asarray(i1))
+    np.testing.assert_array_equal(t0, np.asarray(t1))
+    np.testing.assert_array_equal(row0, np.asarray(row1))
+
+
+# --- Job-stream narrow phase (_run3, tune.narrow="jobs") --------------------
+# Same contract as _run2 at finer group granularity with no in-kernel cull;
+# the variants sweep drain shapes (partial final batches, queue wrap) and
+# both group sizes.
+
+_JOBS_VARIANTS = [
+    TuneConfig(narrow="jobs", m_tile3=128, proc_batch=1),
+    TuneConfig(narrow="jobs", m_tile3=128, proc_batch=2),
+    TuneConfig(narrow="jobs", m_tile3=128, proc_batch=4),
+    TuneConfig(narrow="jobs", m_tile3=256, proc_batch=4),
+    TuneConfig(narrow="jobs", m_tile3=128, proc_batch=2, prefetch_depth=4),
+]
+
+
+@pytest.mark.parametrize("tune", _JOBS_VARIANTS,
+                         ids=[f"g{t.m_tile3}_pb{t.proc_batch}_d"
+                              f"{t.prefetch_depth}" for t in _JOBS_VARIANTS])
+def test_jobs_closest_row_shadow_match_reference(grid_wt, tune):
+    wt = grid_wt
+    ro, rd, act, tmax = _rays()
+    t_ref, i_ref = dense_closest(wt, jnp.stack(ro, axis=1),
+                                 jnp.stack(rd, axis=1), t_max=tmax,
+                                 active=act)
+    t3, i3, row3 = _run3(wt, ro, rd, tmax, act, 1e-3, False, True,
+                         interpret=True, tune=tune)
+    t3, i3 = np.asarray(t3), np.asarray(i3)
+    t_ref, i_ref = np.asarray(t_ref), np.asarray(i_ref)
+    hit = i_ref >= 0
+    assert ((i3 >= 0) == hit).all()
+    assert (i_ref[hit] == i3[hit]).all()
+    np.testing.assert_allclose(t3[hit], t_ref[hit], rtol=2e-3, atol=2e-4)
+
+    st = np.asarray(wt.shade_table)
+    row3 = np.asarray(row3)
+    np.testing.assert_allclose(row3[0:9, hit].T, st[i3[hit]][:, 0:9],
+                               rtol=1e-6, atol=1e-6)
+
+    occ_ref = np.asarray(dense_shadow(wt, jnp.stack(ro, axis=1),
+                                      jnp.stack(rd, axis=1), t_max=tmax,
+                                      active=act))
+    occ3 = np.asarray(_run3(wt, ro, rd, tmax, act, 1e-3, True, False,
+                            interpret=True, tune=tune))
+    assert (occ_ref == occ3).all()
+
+
+@pytest.mark.parametrize("tune", _JOBS_VARIANTS,
+                         ids=[f"g{t.m_tile3}_pb{t.proc_batch}_d"
+                              f"{t.prefetch_depth}" for t in _JOBS_VARIANTS])
+def test_jobs_ladder_matches_scan_kernel(ladder_world, ladder_ref, tune):
+    """On the deterministic ladder fixture (every lane's winner sits in
+    exactly one cluster — no cross-cluster ties) the job-stream kernel must
+    reproduce the scan kernel bit-for-bit, including winner rows, across
+    drain shapes: partial final batches land in virgin queue slots here
+    exactly as in the _run2 drain matrix."""
+    wt, ro, rd, act, tmax = ladder_world
+    t0, i0, row0 = ladder_ref
+    t1, i1, row1 = _run3(wt, ro, rd, tmax, act, 1e-3, False, True,
                          interpret=True, tune=tune)
     np.testing.assert_array_equal(i0, np.asarray(i1))
     np.testing.assert_array_equal(t0, np.asarray(t1))

@@ -67,6 +67,17 @@ def main():
     elif mode == "seedk":
         variants = {f"seed{v}": TuneConfig(seed_k=v)
                     for v in (8, 16, 32)}
+    elif mode == "narrow":
+        variants = {"scan": TuneConfig(),
+                    "jobs128": TuneConfig(narrow="jobs", m_tile3=128),
+                    "jobs256": TuneConfig(narrow="jobs", m_tile3=256)}
+    elif mode == "jobs":
+        variants = {
+            "g128_pb4": TuneConfig(narrow="jobs", m_tile3=128),
+            "g128_pb8": TuneConfig(narrow="jobs", m_tile3=128,
+                                   proc_batch=8, prefetch_depth=16),
+            "g256_pb4": TuneConfig(narrow="jobs", m_tile3=256),
+        }
     else:
         variants = {"m1024": TuneConfig(m_tile2=1024),
                     "m512": TuneConfig(m_tile2=512)}

@@ -212,9 +212,10 @@ def _run(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
          tune: TuneConfig = DEFAULT_TUNE):
     """ro, rd are V3 components; t_max/active (R,). Returns transposed outs."""
     if wt.featk3.shape[0] > 1:
-        # Multi-tile scene: the two-level culled sweep.
-        return _run2(wt, ro, rd, t_max, active, t_min, any_hit, with_row,
-                     row_from_lane, interpret=interpret, tune=tune)
+        # Multi-tile scene: the two-level culled sweep or the job stream.
+        impl = _run3 if tune.narrow == "jobs" else _run2
+        return impl(wt, ro, rd, t_max, active, t_min, any_hit, with_row,
+                    row_from_lane, interpret=interpret, tune=tune)
     rox, roy, roz = ro
     rdx, rdy, rdz = rd
     R = rox.shape[0]
@@ -679,23 +680,14 @@ def _kernel2(scal_ref, surv_ref, dist_ref, rayk3_ref, cull8_ref, tmax_ref,
         stats_ref[:] = row
 
 
-def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
-          with_row: bool, row_from_lane: int = 0, interpret: bool = False,
-          with_stats: bool = False, tune: TuneConfig = DEFAULT_TUNE):
-    """Two-level sweep: cull clusters per ray tile, then loop survivors.
+def _coherence_sort(ro, rd, t_max, active, m_tile: int, seg_start: int,
+                    sph_flat, tune: TuneConfig):
+    """Shared _run2/_run3 prefix: pad to tiles + the coherence-sort permute.
 
-    with_stats=True appends a (T, 3) float32 array to the return tuple:
-    per ray tile [loop iterations, clusters processed, worklist count]
-    (tooling only; see tools/stats_spheres.py)."""
-    from .cluster_cull import (tile_cluster_worklist,
-                               tile_cluster_worklist_exact)
-
-    # The queue buffers are laid out as (depth // batch) batch-contiguous
-    # blocks; partial drains zero per-position — both assume batch | depth.
-    assert tune.prefetch_depth % tune.proc_batch == 0, (
-        "TuneConfig.proc_batch must divide prefetch_depth "
-        f"({tune.proc_batch} vs {tune.prefetch_depth})")
-    m_tile2 = tune.m_tile2
+    Returns (sorted components (rox..rdz, t_max), rayfT, rayk3, inv_perm,
+    rp, smin, sext). See the _run2 call site for the measured rationale
+    (octant + origin-cell key; key_stats.py round-5 re-check: this key
+    beats nearest-cluster orderings at every group granularity)."""
     rox, roy, roz = ro
     rdx, rdy, rdz = rd
     R = rox.shape[0]
@@ -705,47 +697,19 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
     t_max = jnp.where(active, t_max, 0.0)
 
-    r_pad = (-R) % m_tile2
+    r_pad = (-R) % m_tile
     if r_pad:
         rox, roy, roz, rdx, rdy, rdz, t_max = (
             jnp.pad(x, (0, r_pad))
             for x in (rox, roy, roz, rdx, rdy, rdz, t_max))
     rp = R + r_pad
 
-    featk3 = wt.featk3                    # (Ct, 5C, 3K) bf16 — stays in HBM
-    shadek3 = wt.shadek3                  # (Ct, SHADE_K, 3C) bf16 — HBM
-    sph_flat = wt.spheres[:, 0, :]        # (Ct, 128) f32
-    n_clusters = featk3.shape[0]
-    c = featk3.shape[2] // 4
-
-    first_row_tile = 0
-    if with_row and row_from_lane and row_from_lane % m_tile2 == 0:
-        first_row_tile = row_from_lane // m_tile2
-
-    # --- Coherence sort (the wavefront reorder). Tile-granular cone culling
-    # is useless on incoherent bounce rays (measured on `spheres`: 2009/2009
-    # clusters survive random directions), so permute lanes so each M_TILE2
-    # tile shares a direction octant + origin cell; the tile cone then prunes
-    # most clusters. Dead lanes (t_max==0) sort to the segment end, turning
-    # whole tiles dead (count==0 -> kernel skips them): per-bounce ray
-    # compaction for free. The two fused segments (shadow | closest rays,
-    # split at row_from_lane) sort independently so the row-fetch tile split
-    # stays aligned. Data movement: argsort (0.5 ms at 512k) + ROW-MAJOR
-    # row gathers — an (R, 8) row gather is ~11 ms where 7 separate (R,)
-    # column gathers cost ~43 ms, and multi-operand lax.sort (runtime-free)
-    # is ruled out by its comparator compile cost (~220 s for 43 operands).
     live = sph_flat[:, 3] >= 0.0
     smin = jnp.min(jnp.where(live[:, None], sph_flat[:, 0:3]
                              - sph_flat[:, 3:4], jnp.float32(3e38)), axis=0)
     sext = jnp.maximum(
         jnp.max(jnp.where(live[:, None], sph_flat[:, 0:3] + sph_flat[:, 3:4],
                           jnp.float32(-3e38)), axis=0) - smin, 1e-20)
-    # Origin cells quantize against the LIVE RAY ORIGIN bbox, not the scene
-    # geometry bbox: a scene like `spheres` has an r=1000 ground sphere that
-    # blows the geometry bbox to ~2000 units while every bounce origin sits
-    # in a ~30-unit visible region — geometry-box cells put all origins in
-    # 1-2 cells and the key degenerates to direction-octant only (scanned:
-    # ray-origin cells cut bounce survivor work 1.5-2.9x on `spheres`).
     lane_live = t_max > 0.0
     key = jnp.zeros((rp,), jnp.int32)
     octant = jnp.zeros((rp,), jnp.int32)
@@ -764,10 +728,6 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
         if tune.dir_bits == 1:
             octant = octant * 2 + (d_c < 0.0).astype(jnp.int32)
         else:
-            # Finer direction bins: quantize the NORMALIZED component to
-            # 2^dir_bits levels — subtile cones shrink from 90-degree
-            # octants toward ~90/2^(dir_bits-1) degrees, cutting bounce-tile
-            # worklists (A/B: tools/ab_spheres.py dir).
             dl_all = jnp.sqrt(rdx * rdx + rdy * rdy + rdz * rdz)
             dn = d_c / jnp.maximum(dl_all, 1e-20)
             lv = 1 << tune.dir_bits
@@ -778,7 +738,6 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
     cell_span = 1 << (3 * tune.cell_bits)
     key = octant * cell_span + key
     key = jnp.where(t_max > 0.0, key, jnp.int32(cell_span * dir_span))
-    seg_start = first_row_tile * m_tile2
     seg = (jnp.arange(rp, dtype=jnp.int32) >= seg_start).astype(jnp.int32)
     perm = jnp.argsort(key + seg * jnp.int32(2 * cell_span * dir_span))
     # Inverse permutation by scatter (one pass) instead of a second argsort.
@@ -795,6 +754,55 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
     rh, rl = _split2(rayfT[:FEAT_P])
     zpad = jnp.zeros((FEAT_K3 - 3 * FEAT_P, rp), rh.dtype)
     rayk3 = jnp.concatenate([rh, rl, rh, zpad], axis=0)  # (K3, rp)
+    return ((rox, roy, roz, rdx, rdy, rdz, t_max), rayfT, rayk3, inv_perm,
+            rp, smin, sext)
+
+
+def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
+          with_row: bool, row_from_lane: int = 0, interpret: bool = False,
+          with_stats: bool = False, tune: TuneConfig = DEFAULT_TUNE):
+    """Two-level sweep: cull clusters per ray tile, then loop survivors.
+
+    with_stats=True appends a (T, 3) float32 array to the return tuple:
+    per ray tile [loop iterations, clusters processed, worklist count]
+    (tooling only; see tools/stats_spheres.py)."""
+    from .cluster_cull import (tile_cluster_worklist,
+                               tile_cluster_worklist_exact)
+
+    # The queue buffers are laid out as (depth // batch) batch-contiguous
+    # blocks; partial drains zero per-position — both assume batch | depth.
+    assert tune.prefetch_depth % tune.proc_batch == 0, (
+        "TuneConfig.proc_batch must divide prefetch_depth "
+        f"({tune.proc_batch} vs {tune.prefetch_depth})")
+    m_tile2 = tune.m_tile2
+
+    featk3 = wt.featk3                    # (Ct, 5C, 3K) bf16 — stays in HBM
+    shadek3 = wt.shadek3                  # (Ct, SHADE_K, 3C) bf16 — HBM
+    sph_flat = wt.spheres[:, 0, :]        # (Ct, 128) f32
+    n_clusters = featk3.shape[0]
+    c = featk3.shape[2] // 4
+
+    R = ro[0].shape[0]
+    first_row_tile = 0
+    if with_row and row_from_lane and row_from_lane % m_tile2 == 0:
+        first_row_tile = row_from_lane // m_tile2
+
+    # --- Coherence sort (the wavefront reorder). Tile-granular cone culling
+    # is useless on incoherent bounce rays (measured on `spheres`: 2009/2009
+    # clusters survive random directions), so permute lanes so each M_TILE2
+    # tile shares a direction octant + origin cell; the tile cone then prunes
+    # most clusters. Dead lanes (t_max==0) sort to the segment end, turning
+    # whole tiles dead (count==0 -> kernel skips them): per-bounce ray
+    # compaction for free. The two fused segments (shadow | closest rays,
+    # split at row_from_lane) sort independently so the row-fetch tile split
+    # stays aligned. Data movement: argsort (0.5 ms at 512k) + ROW-MAJOR
+    # row gathers — an (R, 8) row gather is ~11 ms where 7 separate (R,)
+    # column gathers cost ~43 ms, and multi-operand lax.sort (runtime-free)
+    # is ruled out by its comparator compile cost (~220 s for 43 operands).
+    (comps_s, rayfT, rayk3, inv_perm, rp, smin, sext) = _coherence_sort(
+        ro, rd, t_max, active, m_tile2, first_row_tile * m_tile2,
+        sph_flat, tune)
+    rox, roy, roz, rdx, rdy, rdz, t_max = comps_s
 
     if tune.exact_cull:
         order, keys, counts = tile_cluster_worklist_exact(
@@ -881,8 +889,8 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
         in_specs += [
             # cluster-sphere table, resident in VMEM
             pl.BlockSpec((n_clusters, 128), lambda i, v: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # featk3 (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # shadek3 (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # featk3 (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # shadek3 (HBM)
         ]
         operands += [sph_flat, featk3, shadek3]
 
@@ -955,6 +963,305 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
         t = backT[SHADE_K]
         idx = backT[SHADE_K + 1].astype(jnp.int32)
         # Contract: rows for lanes [row_from_lane:] only.
+        return (t, idx, backT[:SHADE_K, row_from_lane:]) + stats
+    inv = inv_perm[:R]
+    out = (out_t[0, inv], out_i[0, inv].astype(jnp.int32))
+    return out + stats
+
+
+# ---------------------------------------------------------------------------
+# Job-stream narrow phase: per-GROUP exact worklists consumed straight
+# through — no in-kernel culling, no scan machinery.
+# ---------------------------------------------------------------------------
+
+
+def _kernel3(scal_ref, surv_ref, rayk3_ref, tmax_ref, *more_refs,
+             t_min: float, any_hit: bool, with_row: bool, c_tile: int,
+             depth: int, batch: int):
+    """Job-stream kernel: one grid step per RAY GROUP (m_tile3 lanes); the
+    group's exact-cull worklist (sorted near-to-far) is processed start to
+    finish with `depth`-deep pipelined DMA, `batch` clusters per stacked
+    matmul.
+
+    Versus _kernel2 this drops the whole scan half (per-entry interval
+    cull, open-interval cache, sorted early exit, windowed epilogue): at
+    group granularity the XLA-side exact cull already did the pruning
+    (tools/job_stats.py: per-128-group unions are 2.6x tighter in
+    lane-pairs than per-1024-tile ones, and in-kernel running-best
+    tightening is worth only ~17% more), so the kernel's only job is to
+    keep the MXU fed. Worklist consumption is branch-free: a fori_loop
+    over ceil(count/batch) stacked matmul + epilogue steps.
+
+    Commit order is the sorted worklist order with strict <, matching
+    _kernel2's earlier-batch-wins-ties semantics over the same sorted
+    list."""
+    featk3_hbm, shadek3_hbm = more_refs[:2]
+    refs = list(more_refs[2:])
+    if with_row:
+        out_t_ref, out_i_ref, out_row_ref = refs[:3]
+        feat_buf, shade_buf, semf, sems, upd_g, committed = refs[3:]
+    else:
+        out_t_ref, out_i_ref = refs[:2]
+        feat_buf, shade_buf, semf, sems, upd_g, committed = refs[2:]
+    i = pl.program_id(0)
+    count = scal_ref[1 + i]
+    row_on = scal_ref[0] <= i
+
+    if any_hit:
+        out_t_ref[:] = jnp.zeros_like(out_t_ref)
+    else:
+        out_t_ref[:] = tmax_ref[:]
+    out_i_ref[:] = jnp.full_like(out_i_ref, -1.0)
+    if with_row:
+        out_row_ref[:] = jnp.zeros_like(out_row_ref)
+        out_row_ref[SHADE_K:SHADE_K + 1, :] = out_t_ref[:]
+        out_row_ref[SHADE_K + 1:SHADE_K + 2, :] = out_i_ref[:]
+
+    def dma_feat(k, pos):
+        cidx = surv_ref[0, 0, k]
+        return pltpu.make_async_copy(
+            featk3_hbm.at[cidx],
+            feat_buf.at[pos // batch, :,
+                        pl.ds(jax.lax.rem(pos, batch) * 4 * c_tile,
+                              4 * c_tile)],
+            semf.at[pos])
+
+    def dma_shade(k, pos):
+        cidx = surv_ref[0, 0, k]
+        return pltpu.make_async_copy(
+            shadek3_hbm.at[cidx],
+            shade_buf.at[pos // batch, :,
+                         pl.ds(jax.lax.rem(pos, batch) * 3 * c_tile,
+                               3 * c_tile)],
+            sems.at[pos])
+
+    # Prologue: fill the DMA queue `depth` entries deep.
+    for p in range(depth):
+        @pl.when(p < count)
+        def _pre(p=p):
+            dma_feat(p, p).start()
+            if with_row:
+                dma_shade(p, p).start()
+
+    def body(bi, carry):
+        k0 = bi * batch
+        pos0 = jax.lax.rem(k0, depth)
+        buf = pos0 // batch
+        nv = jnp.minimum(count - k0, batch)
+        dma_feat(k0, pos0).wait()
+        if with_row:
+            dma_shade(k0, pos0).wait()
+        for b in range(1, batch):
+            @pl.when(nv > b)
+            def _wait_b(b=b):
+                dma_feat(k0 + b, pos0 + b).wait()
+                if with_row:
+                    dma_shade(k0 + b, pos0 + b).wait()
+            if with_row:
+                # Short drains zero the shade slice: the one-hot row fetch
+                # contracts the whole batch-wide buffer and 0 x NaN != 0
+                # (same hazard as _kernel2, commit 3395142).
+                @pl.when(nv <= b)
+                def _zero_shade(b=b):
+                    shade_buf[buf, :, pl.ds(b * 3 * c_tile, 3 * c_tile)] = (
+                        jnp.zeros((shade_buf.shape[1], 3 * c_tile),
+                                  shade_buf.dtype))
+
+        resT = jax.lax.dot_general(
+            feat_buf[buf], rayk3_ref[:],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        committed[0] = jnp.int32(0)
+        if with_row:
+            upd_g[:] = jnp.zeros_like(upd_g)
+        for b in range(batch):
+            base = 4 * b * c_tile
+
+            @pl.when(nv > b)
+            def _one(b=b, base=base):
+                s0 = resT[base + 0 * c_tile: base + 1 * c_tile, :]
+                s1 = resT[base + 1 * c_tile: base + 2 * c_tile, :]
+                s2 = resT[base + 2 * c_tile: base + 3 * c_tile, :]
+                tn = resT[base + 3 * c_tile: base + 4 * c_tile, :]
+                td = s0 + s1 + s2  # Plucker identity
+                inside = (jnp.minimum(jnp.minimum(s0, s1), s2) >= 0.0) \
+                    | (jnp.maximum(jnp.maximum(s0, s1), s2) <= 0.0)
+                ok = inside & (jnp.abs(td) >= 1e-6)
+                t = tn / jnp.where(ok, td, 1.0)
+                ok = ok & (t > t_min) & (t < tmax_ref[:])
+                if any_hit:
+                    h = jnp.max(ok.astype(jnp.float32), axis=0,
+                                keepdims=True)
+                    out_t_ref[:] = jnp.maximum(out_t_ref[:], h)
+                    return
+                tm = jnp.where(ok, t, jnp.float32(T_MAX))
+                cidx_b = surv_ref[0, 0, k0 + b]
+                col = cidx_b * c_tile + jax.lax.broadcasted_iota(
+                    jnp.int32, tm.shape, 0)
+                bmin = jnp.min(tm, axis=0, keepdims=True)
+                upd = bmin < out_t_ref[:]
+                any_upd = jnp.max(upd.astype(jnp.float32)) > 0.0
+
+                @pl.when(any_upd)
+                def _commit():
+                    committed[0] = jnp.int32(1)
+                    bidx = jnp.min(
+                        jnp.where(tm <= bmin, col, jnp.int32(2 ** 30)),
+                        axis=0, keepdims=True)
+                    out_t_ref[:] = jnp.where(upd, bmin, out_t_ref[:])
+                    out_i_ref[:] = jnp.where(upd, bidx.astype(jnp.float32),
+                                             out_i_ref[:])
+                    if with_row:
+                        upd_g[:] = jnp.where(upd, 1.0, upd_g[:])
+
+        if with_row:
+            # One row fetch per COMMITTING batch (amortized over the batch
+            # like _kernel2's): reconstruct each improved lane's winner via
+            # the globally-unique column ids.
+            @pl.when(committed[0] > 0)
+            def _refresh():
+                out_row_ref[SHADE_K:SHADE_K + 1, :] = out_t_ref[:]
+                out_row_ref[SHADE_K + 1:SHADE_K + 2, :] = out_i_ref[:]
+
+                @pl.when(row_on)
+                def _fetch_row():
+                    updm = upd_g[:] > 0.0
+                    win = out_i_ref[:].astype(jnp.int32)
+                    parts = []
+                    for b in range(batch):
+                        cidx_b = surv_ref[
+                            0, 0, jnp.minimum(k0 + b, count - 1)]
+                        col_b = cidx_b * c_tile + jax.lax.broadcasted_iota(
+                            jnp.int32, (c_tile, out_i_ref.shape[1]), 0)
+                        oh_b = ((col_b == win) & updm
+                                & (nv > b)).astype(jnp.bfloat16)
+                        parts.extend([oh_b, oh_b, oh_b])
+                    oh3 = jnp.concatenate(parts, axis=0)
+                    rowT_new = jnp.dot(shade_buf[buf], oh3,
+                                       preferred_element_type=jnp.float32)
+                    out_row_ref[0:SHADE_K, :] = jnp.where(
+                        updm, rowT_new[:SHADE_K], out_row_ref[0:SHADE_K, :])
+
+        # Refill the queue: the entries that will land in this buffer slot.
+        for b in range(batch):
+            kn = k0 + depth + b
+
+            @pl.when(kn < count)
+            def _next(kn=kn, b=b):
+                dma_feat(kn, pos0 + b).start()
+                if with_row:
+                    dma_shade(kn, pos0 + b).start()
+        return carry
+
+    nb = (count + batch - 1) // batch
+    jax.lax.fori_loop(0, nb, body, jnp.int32(0))
+
+
+def _run3(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
+          with_row: bool, row_from_lane: int = 0, interpret: bool = False,
+          with_stats: bool = False, tune: TuneConfig = DEFAULT_TUNE):
+    """Job-stream narrow phase at group granularity tune.m_tile3.
+
+    Same contract as _run2. with_stats returns the per-group worklist count
+    in all three stat columns (the kernel has no scan/process distinction)."""
+    from .cluster_cull import tile_cluster_worklist_exact
+
+    assert tune.prefetch_depth % tune.proc_batch == 0, (
+        "TuneConfig.proc_batch must divide prefetch_depth "
+        f"({tune.proc_batch} vs {tune.prefetch_depth})")
+    g = tune.m_tile3
+    depth, batch = tune.prefetch_depth, tune.proc_batch
+
+    featk3 = wt.featk3
+    shadek3 = wt.shadek3
+    sph_flat = wt.spheres[:, 0, :]
+    n_clusters = featk3.shape[0]
+    c = featk3.shape[2] // 4
+
+    R = ro[0].shape[0]
+    first_row_tile = 0
+    if with_row and row_from_lane and row_from_lane % g == 0:
+        first_row_tile = row_from_lane // g
+
+    (comps_s, rayfT, rayk3, inv_perm, rp, smin, sext) = _coherence_sort(
+        ro, rd, t_max, active, g, first_row_tile * g, sph_flat, tune)
+    t_max = comps_s[6]
+
+    order, keys, counts = tile_cluster_worklist_exact(
+        rayfT, t_max, sph_flat, g)
+
+    ct_pad = (-n_clusters) % 128
+    if ct_pad:
+        order = jnp.pad(order, ((0, 0), (0, ct_pad)))
+    order = order[:, None, :]
+    n_groups = rp // g
+    scal = jnp.concatenate([
+        jnp.asarray([first_row_tile], jnp.int32), counts])
+
+    out_specs = [
+        pl.BlockSpec((1, g), lambda i, v: (0, i)),
+        pl.BlockSpec((1, g), lambda i, v: (0, i)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((1, rp), jnp.float32),
+        jax.ShapeDtypeStruct((1, rp), jnp.float32),
+    ]
+    if with_row:
+        out_specs.append(pl.BlockSpec((SHADE_KP, g), lambda i, v: (0, i)))
+        out_shape.append(jax.ShapeDtypeStruct((SHADE_KP, rp), jnp.float32))
+
+    in_specs = [
+        pl.BlockSpec((1, 1, order.shape[2]), lambda i, v: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((FEAT_K3, g), lambda i, v: (0, i)),
+        pl.BlockSpec((1, g), lambda i, v: (0, i)),
+        pl.BlockSpec(memory_space=pl.ANY),   # featk3 (HBM)
+        pl.BlockSpec(memory_space=pl.ANY),   # shadek3 (HBM)
+    ]
+    operands = [scal, order, rayk3, t_max[None, :], featk3, shadek3]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_groups,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((depth // batch, FEAT_K3, batch * 4 * c),
+                       jnp.bfloat16),
+            pltpu.VMEM((depth // batch, SHADE_KP, batch * 3 * c),
+                       jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((depth,)),
+            pltpu.SemaphoreType.DMA((depth,)),
+            pltpu.VMEM((1, g), jnp.float32),     # upd_g
+            pltpu.SMEM((1,), jnp.int32),         # committed flag
+        ],
+    )
+
+    outs = pl.pallas_call(
+        functools.partial(_kernel3, t_min=t_min, any_hit=any_hit,
+                          with_row=with_row, c_tile=c,
+                          depth=depth, batch=batch),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(*operands)
+
+    out_t, out_i = outs[0], outs[1]
+    stats = ()
+    if with_stats:
+        cf = counts.astype(jnp.float32)[:, None]
+        stats = (jnp.concatenate([cf, cf, cf], axis=1),)
+    if any_hit:
+        out = out_t[0, inv_perm[:R]] > 0.0
+        return (out,) + stats if with_stats else out
+    if with_row:
+        backT = outs[2].T[inv_perm[:R], :].T        # (SHADE_KP, R)
+        t = backT[SHADE_K]
+        idx = backT[SHADE_K + 1].astype(jnp.int32)
         return (t, idx, backT[:SHADE_K, row_from_lane:]) + stats
     inv = inv_perm[:R]
     out = (out_t[0, inv], out_i[0, inv].astype(jnp.int32))

@@ -65,6 +65,21 @@ class TuneConfig(NamedTuple):
     # tests pairs ~100x cheaper per test — so discovering a near hit first
     # and re-culling per lane attacks both halves of the survivor loop.
     seed_k: int = 0
+    # Narrow-phase kernel for multi-tile scenes: "scan" = the prefetch-queue
+    # survivor loop (_kernel2: per-1024-lane-tile worklists, in-kernel
+    # interval cull + sorted early exit); "jobs" = the job-stream kernel
+    # (_kernel3: per-m_tile3-lane-GROUP exact worklists consumed straight
+    # through with pipelined DMA, no in-kernel culling). Rationale
+    # (tools/job_stats.py, round 5): the per-lane survivor floor on
+    # `spheres` bounce tiles is ~15 clusters while a 1024-lane tile's union
+    # is ~153 — finer groups cut total lane-pairs 2.6x at g=128, and with
+    # the scan gone the kernel's whole cost is the narrow-phase epilogue.
+    # In-kernel tightening is NOT worth re-adding: oracle per-lane t-caps
+    # shrink unions only ~17% (same tool), which is why the seeded
+    # two-phase sweep measured 912 vs 764 ms/frame.
+    narrow: str = "scan"
+    # Lanes per ray group of the job-stream kernel (worklist granularity).
+    m_tile3: int = 128
     # Measurement-only kernel ablations ("" = off; "noproc" = cull+DMA only;
     # "nocull" = process every reachable survivor; "allwin" = windowed
     # epilogue code with window skipping disabled). These are research
