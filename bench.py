@@ -85,16 +85,17 @@ def build(scene_name, obj_source=None, glb_data=None, width=512, height=512):
     world.update_camera(width, height)
     # Decode to the 1024^2 texture array like the Renderer does — without
     # this, textured configs silently bench the 1x1 fast path. Like the
-    # Renderer, textured scenes carry the quad-table pyramid when the
-    # secondary mip is enabled (it is OFF by default — measured slower;
-    # utils/textures.SECONDARY_MIP), else the single level-0 table.
+    # Renderer, textured scenes carry the quad-table pyramid: level 0 for
+    # bounce-0 samples, the Kronecker-fetch secondary mip for bounces >= 1
+    # (utils/textures.SECONDARY_MIP).
     dec = decode_world_textures(world)
     scene = build_device_scene(world, textures=dec)
     if dec is not None:
-        pyr = build_quad_pyramid(dec)
-        scene = scene._replace(textures=(
-            jnp.asarray(pyr[0]) if pyr[1] is pyr[0]
-            else tuple(jnp.asarray(t) for t in pyr)))
+        from webgpu_raytracer_tpu.utils.textures import device_pyramid
+
+        pyr = device_pyramid(build_quad_pyramid(dec))
+        scene = scene._replace(
+            textures=pyr[0] if pyr[1] is pyr[0] else pyr)
     wt = build_world_tris(world)
     camera = jnp.asarray(world.camera())
     return world, wt, scene, camera

@@ -17,6 +17,9 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from bench import build, tunnel_rt  # noqa: E402
 from webgpu_raytracer_tpu.ops.dense_trace import trace_pixels_dense  # noqa: E402
+from webgpu_raytracer_tpu.ops.tune import TuneConfig  # noqa: E402
+import os
+TUNE = TuneConfig(narrow="jobs") if os.environ.get("WRT_JOBS") else TuneConfig()
 
 
 def main():
@@ -34,7 +37,7 @@ def main():
                 s, r = acc
                 col, rr = trace_pixels_dense(
                     wt, tex, cam, i + 1, jnp.zeros(2, jnp.float32),
-                    w, h, 1, d, with_stats=True)
+                    w, h, 1, d, with_stats=True, tune=TUNE)
                 return s + col.mean(), r + rr
             return jax.lax.fori_loop(0, n, body,
                                      (jnp.zeros(()), jnp.zeros(())))

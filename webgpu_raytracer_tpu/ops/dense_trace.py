@@ -57,9 +57,15 @@ def tex_level(textures, level: int):
     multi-MB latency regime. A bare array means "one level for everything"
     (tests and the BVH path pass the plain packed table).
     """
-    if isinstance(textures, (tuple, list)):
+    if isinstance(textures, (tuple, list)) and not _is_texkron(textures):
         return textures[min(level, len(textures) - 1)]
     return textures
+
+
+def _is_texkron(textures) -> bool:
+    from .fetch import TexKron
+
+    return isinstance(textures, TexKron)
 
 
 def sample_texture_v3(textures, tex_idx, u, v) -> V3:
@@ -68,16 +74,21 @@ def sample_texture_v3(textures, tex_idx, u, v) -> V3:
     General path: the PACKED QUAD TABLE (utils/textures.pack_quad_table) —
     one (16 B) row gather delivers all four bilinear corners as u8 codes
     (XLA's TPU gather fast path is short-row-per-index; a 4-gather bilinear
-    costs 4x, a windowed (2,2,3) gather 400x — measured). The whole sample
-    is skipped at runtime (lax.cond) when NO lane carries this map — most
-    scenes only bind a base-color texture, so metallic-roughness / normal /
-    emissive calls cost nothing.
+    costs 4x, a windowed (2,2,3) gather 400x — measured). A TexKron level
+    (the secondary-bounce mip) is served by the Kronecker one-hot fetch
+    instead — MXU matmuls against the VMEM-resident plane table, no gather
+    (ops/fetch.kron_rows). The whole sample is skipped at runtime
+    (lax.cond) when NO lane carries this map — most scenes only bind a
+    base-color texture, so metallic-roughness / normal / emissive calls
+    cost nothing.
     """
-    K, TH, TW, _ = textures.shape
+    kron = _is_texkron(textures)
+    tex_arr = textures.flat if kron else textures
+    K, TH, TW, _ = tex_arr.shape
     has = tex_idx >= 0
     one = jnp.ones_like(u)
     if K == 1 and TH == 1 and TW == 1:
-        texel = textures[0, 0, 0]
+        texel = tex_arr[0, 0, 0]
         return V3(jnp.where(has, texel[0], 1.0) * one,
                   jnp.where(has, texel[1], 1.0) * one,
                   jnp.where(has, texel[2], 1.0) * one)
@@ -92,14 +103,19 @@ def sample_texture_v3(textures, tex_idx, u, v) -> V3:
         y0 = jnp.floor(fy).astype(jnp.int32)
         wx = fx - x0
         wy = fy - y0
-        flat = textures.reshape(-1, 4)
         # Lanes with no texture (miss/dead lanes carry has=False) gather
         # row 0 instead of a garbage-uv scatter: their value is discarded
         # below, and pinning them to one hot DRAM row keeps the gather's
         # latency budget for the live lanes (late bounces run at <30%
         # occupancy before tail compaction kicks in).
         rows = (idx * TH + jnp.mod(y0, TH)) * TW + jnp.mod(x0, TW)
-        q = flat[jnp.where(has, rows, 0)]
+        rows = jnp.where(has, rows, 0)
+        if kron:
+            from .fetch import kron_rows
+
+            q = kron_rows(textures, rows)
+        else:
+            q = tex_arr.reshape(-1, 4)[rows]
 
         def corner(c):
             w = q[:, c]

@@ -1365,3 +1365,69 @@ def pallas_fetch_t(table: jnp.ndarray, idx: jnp.ndarray,
 def pallas_fetch(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Row-major convenience wrapper: (R, K)."""
     return pallas_fetch_t(table, idx).T
+
+
+# ---------------------------------------------------------------------------
+# Kronecker one-hot fetch: row index factored hi*128 + lo, table resident in
+# VMEM as bf16x3 planes (ops/fetch.build_tex_kron layout).
+# ---------------------------------------------------------------------------
+
+
+def _kron_kernel(idx_ref, t2_ref, out_ref, *, k_cols: int, lo: int):
+    hi = t2_ref.shape[1]
+    m = idx_ref.shape[1]
+    idx = idx_ref[:]                                        # (1, M) i32
+    hi_i = idx // lo
+    lo_i = idx - hi_i * lo
+    a = (jax.lax.broadcasted_iota(jnp.int32, (hi, m), 0)
+         == hi_i).astype(jnp.bfloat16)                      # (hi, M)
+    b = (jax.lax.broadcasted_iota(jnp.int32, (lo, m), 0)
+         == lo_i).astype(jnp.float32)                       # (lo, M)
+    # One matmul selects every (plane, lo) row of the lane's hi-block:
+    # exact — the one-hot is exact in bf16 and each output element has a
+    # single nonzero product of two bf16 values accumulated in f32.
+    tmp = jnp.dot(t2_ref[:], a, preferred_element_type=jnp.float32)
+    rows = []
+    for kk in range(k_cols):
+        acc = None
+        for p in range(3):
+            blk = tmp[(kk * 3 + p) * lo:(kk * 3 + p + 1) * lo, :]
+            s = jnp.sum(blk * b, axis=0, keepdims=True)     # (1, M)
+            acc = s if acc is None else acc + s
+        rows.append(acc)
+    for _ in range(out_ref.shape[0] - k_cols):              # sublane pad
+        rows.append(jnp.zeros_like(rows[0]))
+    out_ref[:] = jnp.concatenate(rows, axis=0)
+
+
+def pallas_fetch_kron(t2: jnp.ndarray, idx: jnp.ndarray, k_cols: int,
+                      interpret: bool = False) -> jnp.ndarray:
+    """t2 (3*k_cols*128, hi) bf16 planes, idx (R,) i32 -> (k_cols, R) f32.
+
+    Exact f32 row reconstruction (bf16x3 planes sum bit-for-bit); per-lane
+    cost is hi + 128 one-hot compares and 24*N matmul MACs — the MXU-served
+    gather for tables up to ops/fetch.KRON_MAX_ROWS rows."""
+    from .fetch import KRON_LO
+
+    r = idx.shape[0]
+    m = 1024
+    r_pad = (-r) % m
+    hi = t2.shape[1]
+    k_pad = max(8, k_cols)
+    idxp = jnp.pad(jnp.clip(idx, 0, hi * KRON_LO - 1), (0, r_pad))
+    rp = r + r_pad
+    out = pl.pallas_call(
+        functools.partial(_kron_kernel, k_cols=k_cols, lo=KRON_LO),
+        grid=(rp // m,),
+        in_specs=[
+            pl.BlockSpec((1, m), lambda i: (0, i)),
+            pl.BlockSpec(t2.shape, lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((k_pad, m), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((k_pad, rp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(idxp[None, :].astype(jnp.int32), t2)
+    return out[:k_cols, :r]

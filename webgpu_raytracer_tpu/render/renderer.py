@@ -119,11 +119,10 @@ class Renderer:
             # texture transfer entirely. The (level0, mip) pyramid feeds the
             # dense path (bounces >= 1 sample the mip — see
             # ops/dense_trace.tex_level); the BVH path reads level 0.
-            pyr = build_quad_pyramid(self._textures_np)
-            if pyr[1] is pyr[0]:  # mip disabled: one table, one upload
-                self._textures_np = jnp.asarray(pyr[0])
-            else:
-                self._textures_np = tuple(jnp.asarray(t) for t in pyr)
+            from ..utils.textures import device_pyramid
+
+            pyr = device_pyramid(build_quad_pyramid(self._textures_np))
+            self._textures_np = pyr[0] if pyr[1] is pyr[0] else pyr
         self.scene: DeviceScene = build_device_scene(
             self.world, textures=self._tex_l0())
         n_world_tris = self._world_tri_count()

@@ -69,33 +69,56 @@ def pack_quad_table(tex: np.ndarray) -> np.ndarray:
     return np.stack(words, axis=-1)
 
 
-# Secondary-bounce mip size; None = mip DISABLED (both pyramid levels alias
-# the full-resolution table). MEASURED NEGATIVE RESULT (round 4, v5e,
-# textured GLB 1080p d8, in-session A/B): sampling a 256^2 (1 MB) box mip
-# on bounces >= 1 ran 58.7 Mrays/s where level-0-everywhere ran 95.1 —
-# gathers from the SMALL table are ~1.6x SLOWER per row than from the
-# 16.8 MB table (XLA picks a different gather emitter for small operands),
-# the opposite of the <=1 MB-class microbench extrapolation that motivated
-# the mip (tools/profile_textured.py). The pyramid plumbing stays (levels
-# are a one-line default away) but production samples level 0 everywhere,
-# exactly like the reference (Raytracer.wgsl:666-672
-# textureSampleLevel(.., 0)).
-SECONDARY_MIP = None
+# Secondary-bounce mip size; None = mip disabled (both pyramid levels alias
+# the full-resolution table).
+#
+# History: a PLAIN-GATHER 256^2 mip was a measured negative (round 4, v5e,
+# textured GLB 1080p d8): 58.7 Mrays/s vs 95.1 for level-0-everywhere —
+# XLA's gather emitter is ~1.6x SLOWER per row on small operands, the
+# opposite of the microbench extrapolation (tools/profile_textured.py).
+# Round 5 therefore serves the mip through the KRONECKER ONE-HOT fetch
+# instead (ops/fetch.TexKron + pallas_fetch_kron): the 128^2 table lives in
+# VMEM as bf16x3 planes and every sample is two narrow one-hots + an MXU
+# matmul — no gather emitter at all. Level 0 (bounce 0 / G-buffer primary
+# hits) still samples the full-resolution table with the XLA row gather,
+# like the reference's LOD-0 sampling (Raytracer.wgsl:666-672).
+SECONDARY_MIP = 128
 
 
 def build_quad_pyramid(tex: np.ndarray,
                        mip: int | None = SECONDARY_MIP) -> tuple:
-    """(K, S, S, 3) f32 -> (level0, level1) packed quad tables.
+    """(K, S, S, 3) f32 -> (level0, level1) texture levels.
 
     level0 is pack_quad_table at full resolution (primary hits / G-buffer
-    seeded bounce 0); level1 is a box-downsampled mip for bounces >= 1,
-    or level0 again when mip is None (the measured-faster default).
+    seeded bounce 0); level1 is a box-downsampled mip for bounces >= 1
+    packed as an ops/fetch.TexKron (Kronecker-fetch operand) when it fits
+    the kron row cap, or level0 again when mip is None / oversized.
     """
     l0 = pack_quad_table(tex)
     k, s = tex.shape[0], tex.shape[1]
     if mip is None or s <= mip:
         return l0, l0
+    from ..ops.fetch import KRON_MAX_ROWS, build_tex_kron
+
+    if k * mip * mip > KRON_MAX_ROWS:
+        return l0, l0
     f = s // mip
     small = tex[:, : mip * f, : mip * f].reshape(k, mip, f, mip, f, 3) \
         .mean(axis=(2, 4))
-    return l0, pack_quad_table(small)
+    return l0, build_tex_kron(pack_quad_table(small))
+
+
+def device_pyramid(pyr: tuple):
+    """Move build_quad_pyramid's numpy levels to device arrays (TexKron
+    levels member-wise); a shared level is uploaded once."""
+    import jax.numpy as jnp
+
+    from ..ops.fetch import TexKron
+
+    l0, l1 = pyr
+    d0 = jnp.asarray(l0)
+    if l1 is l0:
+        return d0, d0
+    if isinstance(l1, TexKron):
+        return d0, TexKron(*(jnp.asarray(a) for a in l1))
+    return d0, jnp.asarray(l1)
