@@ -50,13 +50,14 @@ def top_ops(log_dir, n=30):
 
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "jobs"
+    depth = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     tune = TuneConfig(narrow="jobs") if mode == "jobs" else TuneConfig()
     tunnel_rt()
     world, wt, scene, camera = build("spheres")
 
     fn = jax.jit(lambda wt, tex, cam: trace_pixels_dense(
         wt, tex, cam, jnp.int32(1), jnp.zeros(2, jnp.float32),
-        512, 512, 1, 8, tune=tune)[0].mean())
+        512, 512, 1, depth, tune=tune)[0].mean())
     np.asarray(fn(wt, scene.textures, camera))
     log_dir = f"/tmp/wrt_trace_{mode}"
     with jax.profiler.trace(log_dir):

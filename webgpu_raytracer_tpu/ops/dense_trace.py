@@ -29,7 +29,7 @@ from .dense import T_MAX, dense_closest, dense_shadow
 from .rng import init_rng, rand_n, rand_pcg
 from .tune import DEFAULT_TUNE, TuneConfig
 from .v3 import V3, cross, dot, length, max_component, normalize, splat, where
-from ..render.worldtris import SHADE_COLS, WorldTris
+from ..render.worldtris import SHADE_COLS, SHADE_K, WorldTris
 
 _SENT = 1e30
 
@@ -546,11 +546,40 @@ def ray_color_dense(wt: WorldTris, textures, ro: V3, rd: V3, rng,
         throughput = throughput * scale
 
         # --- Fused shadow + next-hit traversal (wgsl:688 + :731-780) ---
+        # Runtime-gated (lax.cond): the LAST bounce has no extension rays
+        # and a lightless scene (`spheres` — no emissive tris, like the
+        # RTiOW original) never has shadow rays, yet the fused sweep would
+        # still pay its full 2R-lane prefix (coherence sort + exact cull)
+        # on all-dead lanes — measured ~59 ms/frame of the spheres d1
+        # frame. Three branches: both ray sets live -> the fused 2R sweep;
+        # extension rays only -> an R-lane closest sweep; neither -> zeros.
         do_next = active & (depth < max_depth - 1)
-        occluded, nhit = fused_shadow_and_next(
-            wt, textures,
-            hit_p + geom_n * eps, ldir, ldist - 2.0 * end_eps, nee_lane,
-            ro_next, rd_next, do_next, tune=tune)
+        nR = ro_next.x.shape[0]
+
+        def _both(_):
+            return fused_shadow_and_next(
+                wt, textures,
+                hit_p + geom_n * eps, ldir, ldist - 2.0 * end_eps, nee_lane,
+                ro_next, rd_next, do_next, tune=tune)
+
+        def _next_only(_):
+            nhit = intersect_and_shade(wt, textures, ro_next, rd_next,
+                                       do_next, tune=tune, level=1)
+            return jnp.zeros(nR, bool), nhit
+
+        def _neither(_):
+            z = jnp.zeros(nR, jnp.float32)
+            z3 = V3(z, z, z)
+            hitz = DenseHit(jnp.zeros((SHADE_K, nR), jnp.float32),
+                            jnp.full(nR, -1, jnp.int32), z, z, z,
+                            z3, z3, z3)
+            return jnp.zeros(nR, bool), hitz
+
+        nee_any = jnp.any(nee_lane)
+        occluded, nhit = jax.lax.cond(
+            nee_any | jnp.any(do_next),
+            lambda _: jax.lax.cond(nee_any, _both, _next_only, None),
+            _neither, None)
         take = nee_lane & ~occluded & (bsdf_pdf > 0.0)
         wgt = jnp.where(
             take,
