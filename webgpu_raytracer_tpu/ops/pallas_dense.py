@@ -714,15 +714,28 @@ def _coherence_sort(ro, rd, t_max, active, m_tile: int, seg_start: int,
     key = jnp.zeros((rp,), jnp.int32)
     octant = jnp.zeros((rp,), jnp.int32)
     for a, (o_c, d_c) in enumerate(((rox, rdx), (roy, rdy), (roz, rdz))):
+        cl = 1 << tune.cell_bits
         if tune.key_mode == "obox":
             o_lo = jnp.min(jnp.where(lane_live, o_c, jnp.float32(3e38)))
             o_ext = jnp.maximum(
                 jnp.max(jnp.where(lane_live, o_c, jnp.float32(-3e38)))
                 - o_lo, 1e-20)
+            # Lens-noise guard: thin-lens PRIMARY rays all originate on the
+            # camera's lens disk, so the live-origin bbox is the lens and
+            # obox cells quantize LENS-SAMPLE NOISE — scrambling raster
+            # coherence within each direction bin (measured: the spheres
+            # primary sweep at lens_radius 0.052 ran 217-344 ms vs 75-81 ms
+            # pinhole, round 5). Culling only cares about origin variation
+            # at cluster scale, so the cell width is floored at
+            # sext / 2^cell_floor_bits: sub-floor origin spreads collapse
+            # to ONE cell and the stable argsort preserves raster order.
+            cell_w = jnp.maximum(
+                o_ext * (1.0 / cl),
+                sext[a] * (2.0 ** -tune.cell_floor_bits))
         else:
-            o_lo, o_ext = smin[a], sext[a]
-        cl = 1 << tune.cell_bits
-        q = jnp.clip(((o_c - o_lo) / o_ext * cl)
+            o_lo = smin[a]
+            cell_w = sext[a] * (1.0 / cl)
+        q = jnp.clip(((o_c - o_lo) / cell_w)
                      .astype(jnp.int32), 0, cl - 1)
         key = key * cl + q
         if tune.dir_bits == 1:

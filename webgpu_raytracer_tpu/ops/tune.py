@@ -34,6 +34,12 @@ class TuneConfig(NamedTuple):
     # Origin-cell bits per axis of the coherence-sort key (2..5 span ~3%
     # on spheres 512^2 d8; 5 marginally best).
     cell_bits: int = 5
+    # Floor on the obox cell width as a fraction of the SCENE extent
+    # (cell width >= sext / 2^cell_floor_bits): origin spreads below
+    # culling-relevant scale — the thin-lens disk on primary rays — then
+    # collapse to one cell instead of scrambling raster order with
+    # lens-sample noise (measured 2.9-4.3x on the spheres primary sweep).
+    cell_floor_bits: int = 11
     # Cone-cull granularity (lanes) of the broad phase; tiles OR-reduce
     # their subtile cones (32-lane subcones cut tile survivors ~3x).
     subtile: int = 32
