@@ -82,8 +82,10 @@ class TuneConfig(NamedTuple):
     # the scan gone the kernel's whole cost is the narrow-phase epilogue.
     # In-kernel tightening is NOT worth re-adding: oracle per-lane t-caps
     # shrink unions only ~17% (same tool), which is why the seeded
-    # two-phase sweep measured 912 vs 764 ms/frame.
-    narrow: str = "scan"
+    # two-phase sweep measured 912 vs 764 ms/frame. Frame A/B after the
+    # cell-floor fix (spheres 512^2 d8): scan 632 ms, jobs g=128 494 ms,
+    # jobs g=256 506 ms -> jobs/128 is the default.
+    narrow: str = "jobs"
     # Lanes per ray group of the job-stream kernel (worklist granularity).
     m_tile3: int = 128
     # Measurement-only kernel ablations ("" = off; "noproc" = cull+DMA only;
