@@ -293,12 +293,20 @@ _JOBS_VARIANTS = [
     TuneConfig(narrow="jobs", m_tile3=128, proc_batch=4),
     TuneConfig(narrow="jobs", m_tile3=256, proc_batch=4),
     TuneConfig(narrow="jobs", m_tile3=128, proc_batch=2, prefetch_depth=4),
+    TuneConfig(narrow="jobs", m_tile3=128, seed_k=4),
+    TuneConfig(narrow="jobs", m_tile3=128, cull_sub=8),
+    TuneConfig(narrow="jobs", m_tile3=128, seed_k=4, cull_sub=8),
 ]
 
 
+def _jobs_id(t):
+    return (f"g{t.m_tile3}_pb{t.proc_batch}_d{t.prefetch_depth}"
+            + (f"_s{t.seed_k}" if t.seed_k else "")
+            + (f"_c{t.cull_sub}" if t.cull_sub else ""))
+
+
 @pytest.mark.parametrize("tune", _JOBS_VARIANTS,
-                         ids=[f"g{t.m_tile3}_pb{t.proc_batch}_d"
-                              f"{t.prefetch_depth}" for t in _JOBS_VARIANTS])
+                         ids=[_jobs_id(t) for t in _JOBS_VARIANTS])
 def test_jobs_closest_row_shadow_match_reference(grid_wt, tune):
     wt = grid_wt
     ro, rd, act, tmax = _rays()
@@ -328,8 +336,7 @@ def test_jobs_closest_row_shadow_match_reference(grid_wt, tune):
 
 
 @pytest.mark.parametrize("tune", _JOBS_VARIANTS,
-                         ids=[f"g{t.m_tile3}_pb{t.proc_batch}_d"
-                              f"{t.prefetch_depth}" for t in _JOBS_VARIANTS])
+                         ids=[_jobs_id(t) for t in _JOBS_VARIANTS])
 def test_jobs_ladder_matches_scan_kernel(ladder_world, ladder_ref, tune):
     """On the deterministic ladder fixture (every lane's winner sits in
     exactly one cluster — no cross-cluster ties) the job-stream kernel must

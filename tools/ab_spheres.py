@@ -71,6 +71,13 @@ def main():
         variants = {"scan": TuneConfig(),
                     "jobs128": TuneConfig(narrow="jobs", m_tile3=128),
                     "jobs256": TuneConfig(narrow="jobs", m_tile3=256)}
+    elif mode == "opt":
+        variants = {
+            "base": TuneConfig(),
+            "seed8": TuneConfig(seed_k=8),
+            "cull8": TuneConfig(cull_sub=8),
+            "s8c8": TuneConfig(seed_k=8, cull_sub=8),
+        }
     elif mode == "jobs":
         variants = {
             "g128_pb4": TuneConfig(narrow="jobs", m_tile3=128),

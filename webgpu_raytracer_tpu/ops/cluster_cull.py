@@ -124,7 +124,7 @@ def tile_cluster_worklist_exact(rayfT, t_max, spheres, m_tile: int,
 
 
 def tile_cluster_worklist(rayfT, t_max, spheres, m_tile: int,
-                          sub: int = 32):
+                          sub: int = 32, t_cap=None):
     """Conservative per-ray-tile cluster survivor lists.
 
     rayfT:   (16, Rp) transposed ray features (d=rows 0:3, o=rows 6:9)
@@ -197,6 +197,12 @@ def tile_cluster_worklist(rayfT, t_max, spheres, m_tile: int,
     hit_box = (t_enter <= t_exit) & (t_exit > 0.0)
     exit_world = jnp.where(hit_box, t_exit, 0.0) * dlen
     reach_world = jnp.minimum(t_max.reshape(t, m_tile) * dlen, exit_world)
+    if t_cap is not None:
+        # Per-lane interval cap (ray-parameter units): the seeded two-phase
+        # sweep passes phase A's hit t — a valid upper bound on each lane's
+        # remaining open interval (see tile_cluster_worklist_exact t_cap).
+        reach_world = jnp.minimum(
+            reach_world, t_cap.reshape(t, m_tile) * dlen)
     tmax_tile = jnp.where(act, reach_world, 0.0).max(axis=1)
 
     cc = spheres[:, 0:3]                                          # (Ct, 3)

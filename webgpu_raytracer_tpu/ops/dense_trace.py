@@ -438,13 +438,20 @@ def ray_color_dense(wt: WorldTris, textures, ro: V3, rd: V3, rng,
         rays=jnp.asarray(primary_rays, f32),  # primary rays
     )
 
+    # The runtime sweep gating below only pays off on MULTI-TILE scenes,
+    # where a dead ray population still costs the full coherence-sort +
+    # cull prefix; single-tile scenes' sweeps are one cheap kernel launch
+    # and the extra lax.conds measurably hurt (cornell 1080p 195 -> 188,
+    # skinned-anim fps — round-5 bench).
+    gated = wt.featk3.shape[0] > 1
+
     def body(depth, s: _S):
         # Skip whole bounces once every lane has terminated (common for
         # depth > mean path length) — the cond prunes the device work.
         return jax.lax.cond(jnp.any(s.active),
                             lambda st: _bounce(depth, st), lambda st: st, s)
 
-    def _bounce(depth, s: _S):
+    def _bounce(depth, s: _S, last: bool = False):
         ones = jnp.ones_like(s.prev_pdf)  # shape-polymorphic: the tail
         # compaction (below) re-enters this body at R_tail lanes
         rowT = s.hit.rowT
@@ -546,40 +553,62 @@ def ray_color_dense(wt: WorldTris, textures, ro: V3, rd: V3, rng,
         throughput = throughput * scale
 
         # --- Fused shadow + next-hit traversal (wgsl:688 + :731-780) ---
-        # Runtime-gated (lax.cond): the LAST bounce has no extension rays
-        # and a lightless scene (`spheres` — no emissive tris, like the
-        # RTiOW original) never has shadow rays, yet the fused sweep would
-        # still pay its full 2R-lane prefix (coherence sort + exact cull)
-        # on all-dead lanes — measured ~59 ms/frame of the spheres d1
-        # frame. Three branches: both ray sets live -> the fused 2R sweep;
-        # extension rays only -> an R-lane closest sweep; neither -> zeros.
-        do_next = active & (depth < max_depth - 1)
+        # `last` (static): the final bounce never traces extension rays, so
+        # it runs only an R-lane any-hit shadow query instead of the fused
+        # 2R sweep. On gated (multi-tile) scenes the per-bounce populations
+        # are additionally runtime-checked: a lightless scene (`spheres` —
+        # the RTiOW original has no emissive geometry) never has shadow
+        # rays, and the fused sweep's coherence-sort + exact-cull prefix
+        # on all-dead lanes measured ~59 ms/frame there.
+        do_next = (jnp.zeros_like(active) if last
+                   else active & (depth < max_depth - 1))
         nR = ro_next.x.shape[0]
 
-        def _both(_):
-            return fused_shadow_and_next(
+        def _zero_hit():
+            z = jnp.zeros(nR, jnp.float32)
+            z3 = V3(z, z, z)
+            return DenseHit(jnp.zeros((SHADE_K, nR), jnp.float32),
+                            jnp.full(nR, -1, jnp.int32), z, z, z,
+                            z3, z3, z3)
+
+        if last:
+            sro = hit_p + geom_n * eps
+            stm = ldist - 2.0 * end_eps
+            if gated:
+                occluded = jax.lax.cond(
+                    jnp.any(nee_lane),
+                    lambda _: shadow_query(wt, sro, ldir, stm, nee_lane,
+                                           tune=tune),
+                    lambda _: jnp.zeros(nR, bool), None)
+            else:
+                occluded = shadow_query(wt, sro, ldir, stm, nee_lane,
+                                        tune=tune)
+            nhit = _zero_hit()
+        elif gated:
+            def _both(_):
+                return fused_shadow_and_next(
+                    wt, textures,
+                    hit_p + geom_n * eps, ldir, ldist - 2.0 * end_eps,
+                    nee_lane, ro_next, rd_next, do_next, tune=tune)
+
+            def _next_only(_):
+                nhit = intersect_and_shade(wt, textures, ro_next, rd_next,
+                                           do_next, tune=tune, level=1)
+                return jnp.zeros(nR, bool), nhit
+
+            def _neither(_):
+                return jnp.zeros(nR, bool), _zero_hit()
+
+            nee_any = jnp.any(nee_lane)
+            occluded, nhit = jax.lax.cond(
+                nee_any | jnp.any(do_next),
+                lambda _: jax.lax.cond(nee_any, _both, _next_only, None),
+                _neither, None)
+        else:
+            occluded, nhit = fused_shadow_and_next(
                 wt, textures,
                 hit_p + geom_n * eps, ldir, ldist - 2.0 * end_eps, nee_lane,
                 ro_next, rd_next, do_next, tune=tune)
-
-        def _next_only(_):
-            nhit = intersect_and_shade(wt, textures, ro_next, rd_next,
-                                       do_next, tune=tune, level=1)
-            return jnp.zeros(nR, bool), nhit
-
-        def _neither(_):
-            z = jnp.zeros(nR, jnp.float32)
-            z3 = V3(z, z, z)
-            hitz = DenseHit(jnp.zeros((SHADE_K, nR), jnp.float32),
-                            jnp.full(nR, -1, jnp.int32), z, z, z,
-                            z3, z3, z3)
-            return jnp.zeros(nR, bool), hitz
-
-        nee_any = jnp.any(nee_lane)
-        occluded, nhit = jax.lax.cond(
-            nee_any | jnp.any(do_next),
-            lambda _: jax.lax.cond(nee_any, _both, _next_only, None),
-            _neither, None)
         take = nee_lane & ~occluded & (bsdf_pdf > 0.0)
         wgt = jnp.where(
             take,
@@ -651,7 +680,14 @@ def ray_color_dense(wt: WorldTris, textures, ro: V3, rd: V3, rng,
         recurse. Budgets are relative to the ORIGINAL R, so a skipped
         (overflowed) stage leaves later stages intact."""
         if not stages:
-            out = jax.lax.fori_loop(depth0, max_depth, body, s)
+            # The LAST bounce is statically unrolled (stages are filtered
+            # to < max_depth, so it always lands in this segment): it
+            # replaces the fused 2R sweep with an R-lane shadow query.
+            out = jax.lax.fori_loop(depth0, max_depth - 1, body, s)
+            out = jax.lax.cond(
+                jnp.any(out.active),
+                lambda st: _bounce(max_depth - 1, st, last=True),
+                lambda st: st, out)
             return out.radiance, out.rng, out.rays
         (d, div), rest = stages[0], stages[1:]
         s = jax.lax.fori_loop(depth0, d, body, s)

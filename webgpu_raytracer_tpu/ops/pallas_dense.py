@@ -990,7 +990,7 @@ def _run2(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
 
 def _kernel3(scal_ref, surv_ref, rayk3_ref, tmax_ref, *more_refs,
              t_min: float, any_hit: bool, with_row: bool, c_tile: int,
-             depth: int, batch: int):
+             depth: int, batch: int, seeded: bool = False):
     """Job-stream kernel: one grid step per RAY GROUP (m_tile3 lanes); the
     group's exact-cull worklist (sorted near-to-far) is processed start to
     finish with `depth`-deep pipelined DMA, `batch` clusters per stacked
@@ -1008,6 +1008,9 @@ def _kernel3(scal_ref, surv_ref, rayk3_ref, tmax_ref, *more_refs,
     Commit order is the sorted worklist order with strict <, matching
     _kernel2's earlier-batch-wins-ties semantics over the same sorted
     list."""
+    assert not seeded or (with_row and not any_hit)
+    more_refs = list(more_refs)
+    seedrow_ref = more_refs.pop(0) if seeded else None
     featk3_hbm, shadek3_hbm = more_refs[:2]
     refs = list(more_refs[2:])
     if with_row:
@@ -1020,15 +1023,21 @@ def _kernel3(scal_ref, surv_ref, rayk3_ref, tmax_ref, *more_refs,
     count = scal_ref[1 + i]
     row_on = scal_ref[0] <= i
 
-    if any_hit:
-        out_t_ref[:] = jnp.zeros_like(out_t_ref)
+    if seeded:
+        # Continue from phase A's accumulators (t/idx mirrors included).
+        out_row_ref[:] = seedrow_ref[:]
+        out_t_ref[:] = seedrow_ref[SHADE_K:SHADE_K + 1, :]
+        out_i_ref[:] = seedrow_ref[SHADE_K + 1:SHADE_K + 2, :]
     else:
-        out_t_ref[:] = tmax_ref[:]
-    out_i_ref[:] = jnp.full_like(out_i_ref, -1.0)
-    if with_row:
-        out_row_ref[:] = jnp.zeros_like(out_row_ref)
-        out_row_ref[SHADE_K:SHADE_K + 1, :] = out_t_ref[:]
-        out_row_ref[SHADE_K + 1:SHADE_K + 2, :] = out_i_ref[:]
+        if any_hit:
+            out_t_ref[:] = jnp.zeros_like(out_t_ref)
+        else:
+            out_t_ref[:] = tmax_ref[:]
+        out_i_ref[:] = jnp.full_like(out_i_ref, -1.0)
+        if with_row:
+            out_row_ref[:] = jnp.zeros_like(out_row_ref)
+            out_row_ref[SHADE_K:SHADE_K + 1, :] = out_t_ref[:]
+            out_row_ref[SHADE_K + 1:SHADE_K + 2, :] = out_i_ref[:]
 
     def dma_feat(k, pos):
         cidx = surv_ref[0, 0, k]
@@ -1201,67 +1210,103 @@ def _run3(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
         ro, rd, t_max, active, g, first_row_tile * g, sph_flat, tune)
     t_max = comps_s[6]
 
-    order, keys, counts = tile_cluster_worklist_exact(
-        rayfT, t_max, sph_flat, g)
+    def cull(t_cap=None):
+        if tune.cull_sub:
+            from .cluster_cull import tile_cluster_worklist
+
+            return tile_cluster_worklist(rayfT, t_max, sph_flat, g,
+                                         sub=tune.cull_sub, t_cap=t_cap)
+        return tile_cluster_worklist_exact(rayfT, t_max, sph_flat, g,
+                                           t_cap=t_cap)
+
+    order, keys, counts = cull()
 
     ct_pad = (-n_clusters) % 128
-    if ct_pad:
-        order = jnp.pad(order, ((0, 0), (0, ct_pad)))
-    order = order[:, None, :]
     n_groups = rp // g
-    scal = jnp.concatenate([
-        jnp.asarray([first_row_tile], jnp.int32), counts])
 
-    out_specs = [
-        pl.BlockSpec((1, g), lambda i, v: (0, i)),
-        pl.BlockSpec((1, g), lambda i, v: (0, i)),
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((1, rp), jnp.float32),
-        jax.ShapeDtypeStruct((1, rp), jnp.float32),
-    ]
-    if with_row:
-        out_specs.append(pl.BlockSpec((SHADE_KP, g), lambda i, v: (0, i)))
-        out_shape.append(jax.ShapeDtypeStruct((SHADE_KP, rp), jnp.float32))
+    def launch(order, counts, seed_row=None):
+        if ct_pad:
+            order = jnp.pad(order, ((0, 0), (0, ct_pad)))
+        order = order[:, None, :]
+        scal = jnp.concatenate([
+            jnp.asarray([first_row_tile], jnp.int32), counts])
 
-    in_specs = [
-        pl.BlockSpec((1, 1, order.shape[2]), lambda i, v: (i, 0, 0),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((FEAT_K3, g), lambda i, v: (0, i)),
-        pl.BlockSpec((1, g), lambda i, v: (0, i)),
-        pl.BlockSpec(memory_space=pl.ANY),   # featk3 (HBM)
-        pl.BlockSpec(memory_space=pl.ANY),   # shadek3 (HBM)
-    ]
-    operands = [scal, order, rayk3, t_max[None, :], featk3, shadek3]
+        out_specs = [
+            pl.BlockSpec((1, g), lambda i, v: (0, i)),
+            pl.BlockSpec((1, g), lambda i, v: (0, i)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((1, rp), jnp.float32),
+            jax.ShapeDtypeStruct((1, rp), jnp.float32),
+        ]
+        if with_row:
+            out_specs.append(pl.BlockSpec((SHADE_KP, g),
+                                          lambda i, v: (0, i)))
+            out_shape.append(jax.ShapeDtypeStruct((SHADE_KP, rp),
+                                                  jnp.float32))
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_groups,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((depth // batch, FEAT_K3, batch * 4 * c),
-                       jnp.bfloat16),
-            pltpu.VMEM((depth // batch, SHADE_KP, batch * 3 * c),
-                       jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((depth,)),
-            pltpu.SemaphoreType.DMA((depth,)),
-            pltpu.VMEM((1, g), jnp.float32),     # upd_g
-            pltpu.SMEM((1,), jnp.int32),         # committed flag
-        ],
-    )
+        in_specs = [
+            pl.BlockSpec((1, 1, order.shape[2]), lambda i, v: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((FEAT_K3, g), lambda i, v: (0, i)),
+            pl.BlockSpec((1, g), lambda i, v: (0, i)),
+        ]
+        operands = [scal, order, rayk3, t_max[None, :]]
+        if seed_row is not None:
+            in_specs.append(pl.BlockSpec((SHADE_KP, g),
+                                         lambda i, v: (0, i)))
+            operands.append(seed_row)
+        in_specs += [
+            pl.BlockSpec(memory_space=pl.ANY),   # featk3 (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # shadek3 (HBM)
+        ]
+        operands += [featk3, shadek3]
 
-    outs = pl.pallas_call(
-        functools.partial(_kernel3, t_min=t_min, any_hit=any_hit,
-                          with_row=with_row, c_tile=c,
-                          depth=depth, batch=batch),
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        interpret=interpret,
-    )(*operands)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_groups,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((depth // batch, FEAT_K3, batch * 4 * c),
+                           jnp.bfloat16),
+                pltpu.VMEM((depth // batch, SHADE_KP, batch * 3 * c),
+                           jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((depth,)),
+                pltpu.SemaphoreType.DMA((depth,)),
+                pltpu.VMEM((1, g), jnp.float32),     # upd_g
+                pltpu.SMEM((1,), jnp.int32),         # committed flag
+            ],
+        )
+
+        return pl.pallas_call(
+            functools.partial(_kernel3, t_min=t_min, any_hit=any_hit,
+                              with_row=with_row, c_tile=c,
+                              depth=depth, batch=batch,
+                              seeded=seed_row is not None),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(*operands)
+
+    if tune.seed_k and with_row and not any_hit:
+        # Group-granularity seeded two-phase: phase A sweeps only the
+        # nearest seed_k sorted entries per group; the cull re-runs with
+        # each lane's phase-A hit t as its interval cap; phase B continues
+        # from the seeded accumulators over the (much shorter) re-culled
+        # worklists. At g=128 the capped union tracks the per-lane need
+        # closely — unlike the failed 1024-lane-tile variant, where the
+        # union was a tile-granularity artifact (tools/job_stats.py).
+        outs_a = launch(order, jnp.minimum(counts, tune.seed_k))
+        row_a = outs_a[2]
+        order_b, _, counts_b = cull(t_cap=row_a[SHADE_K])
+        counts_b = jnp.where(counts <= tune.seed_k, 0, counts_b)
+        outs = launch(order_b, counts_b, seed_row=row_a)
+    else:
+        outs = launch(order, counts)
 
     out_t, out_i = outs[0], outs[1]
     stats = ()

@@ -88,6 +88,11 @@ class TuneConfig(NamedTuple):
     narrow: str = "jobs"
     # Lanes per ray group of the job-stream kernel (worklist granularity).
     m_tile3: int = 128
+    # Job-stream broad phase: 0 = exact per-lane sphere-interval tests
+    # (R x Ct dense, ~16 ms/sweep at 512^2 x 2009); n > 0 = bounding-cone
+    # tests at n-lane subgroups (R/n x Ct), OR-reduced to m_tile3 groups —
+    # cheaper but conservative-looser worklists.
+    cull_sub: int = 0
     # Measurement-only kernel ablations ("" = off; "noproc" = cull+DMA only;
     # "nocull" = process every reachable survivor; "allwin" = windowed
     # epilogue code with window skipping disabled). These are research
