@@ -358,7 +358,13 @@ def main(argv):
                     if k + 1 < nf:
                         r.bridge.update_async(t_base + (k + 1) / 30.0)
                     r.render_frame()
-                np.asarray(r.accum)
+                # Sync on a device-side scalar, not the 4 MB accumulator:
+                # pulling the full buffer through the tunnel costs
+                # ~50-150 ms of TUNNEL bandwidth (weather-dependent) per
+                # pass and was the dominant, noisiest term of this metric
+                # (tools/profile_skinned.py round 5: render+full-readback
+                # 162 ms of which the device frame is ~12).
+                np.asarray(jnp.sum(r.accum))
 
             anim_pass(2, 1.0 / 30.0)  # warm the bridge/overlap path
             nf = 8

@@ -212,13 +212,18 @@ class Renderer:
         BVH-path DeviceScene rebuild (TLAS/BLAS absolutization + ~10 device
         uploads) is skipped there — it was pure per-tick overhead on the
         animation hot path."""
+        self.world.update_camera(self.width, self.height)
         if self.backend == "dense":
-            self.wt = build_world_tris(self.world)
+            # Camera rides the packed scene transfer: one device_put per
+            # tick instead of two (per-RPC tunnel latency, bench config 4).
+            cam = np.asarray(self.world.camera(), np.float32)
+            self.wt, ex = build_world_tris(self.world,
+                                           extra={"camera24": cam})
+            self.camera = ex["camera24"]
         else:
             self.scene = build_device_scene(self.world,
                                             textures=self._tex_l0())
-        self.world.update_camera(self.width, self.height)
-        self.camera = jnp.asarray(self.world.camera())
+            self.camera = jnp.asarray(self.world.camera())
         if reset:
             self.reset_accumulation()
 

@@ -205,8 +205,14 @@ def tri_pad(tw: int) -> int:
     return _round_up(tw, 8) if tw <= 128 else _round_up(tw, 128)
 
 
-def build_world_tris(world, pad_to: int | None = None) -> WorldTris:
-    """Flatten all instances' triangles to world space (numpy, per update)."""
+def build_world_tris(world, pad_to: int | None = None, extra: dict | None = None):
+    """Flatten all instances' triangles to world space (numpy, per update).
+
+    `extra` (optional): name -> numpy array of small per-tick operands
+    (the Renderer passes the camera block) to ride the SAME packed device
+    transfer — each separate host->device put pays tunnel RPC latency on
+    the animated path. Returns (WorldTris, {name: device array}) when
+    given, else just the WorldTris."""
     topo = np.asarray(world.topology(), np.uint32).reshape(-1, 20)
     tri_v = topo[:, 0:3].astype(np.int64)
     tri_geom = topo[:, 3].astype(np.int64)
@@ -362,7 +368,13 @@ def build_world_tris(world, pad_to: int | None = None) -> WorldTris:
         spheres=spheres,
         shadek3=shadek3,
     )
-    return WorldTris(**_upload_tables(host))
+    if extra:
+        host.update({f"x_{k}": np.asarray(v) for k, v in extra.items()})
+    dev = _upload_tables(host)
+    if extra:
+        ex = {k[2:]: dev.pop(k) for k in list(dev) if k.startswith("x_")}
+        return WorldTris(**dev), ex
+    return WorldTris(**dev)
 
 
 # Per-tick scene re-uploads below this total size ride TWO device transfers
@@ -406,8 +418,10 @@ def _upload_tables(host: dict) -> dict:
             off32 += v.size
     buf32 = np.concatenate(parts32) if parts32 else np.zeros(1, np.float32)
     buf16 = np.concatenate(parts16) if parts16 else np.zeros(1, bf16)
-    dev = _unpack_fn(tuple(spec32), tuple(spec16))(jnp.asarray(buf32),
-                                                   jnp.asarray(buf16))
+    # One BATCHED device_put for both streams: separate puts each pay the
+    # tunnel's per-RPC latency on the animated path.
+    d32, d16 = jax.device_put((buf32, buf16))
+    dev = _unpack_fn(tuple(spec32), tuple(spec16))(d32, d16)
     return dict(dev)
 
 
