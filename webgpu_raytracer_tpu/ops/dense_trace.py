@@ -438,12 +438,14 @@ def ray_color_dense(wt: WorldTris, textures, ro: V3, rd: V3, rng,
         rays=jnp.asarray(primary_rays, f32),  # primary rays
     )
 
-    # The runtime sweep gating below only pays off on MULTI-TILE scenes,
-    # where a dead ray population still costs the full coherence-sort +
-    # cull prefix; single-tile scenes' sweeps are one cheap kernel launch
-    # and the extra lax.conds measurably hurt (cornell 1080p 195 -> 188,
-    # skinned-anim fps — round-5 bench).
-    gated = wt.featk3.shape[0] > 1
+    # The runtime sweep gating below only pays off on MULTI-TILE scenes
+    # under the PALLAS path, where a dead ray population still costs the
+    # full coherence-sort + cull prefix; single-tile scenes' sweeps are
+    # one cheap kernel launch and the extra lax.conds measurably hurt
+    # (cornell 1080p 195 -> 188 — round-5 bench), and the CPU fallback
+    # has no prefix at all (the conds only bloat compile time there —
+    # the 8-device dryrun wall went 20 -> 46 s).
+    gated = wt.featk3.shape[0] > 1 and _use_pallas()
 
     def body(depth, s: _S):
         # Skip whole bounces once every lane has terminated (common for
