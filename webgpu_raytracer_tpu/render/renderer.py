@@ -182,7 +182,15 @@ class Renderer:
     def reset_accumulation(self):
         self.frame_count = 0
         self._jitter_acc = JitterAccumulator(self.width, self.height)
-        self._alloc_buffers()
+        # Accumulator reset is SEMANTIC: accumulate() overwrites (not adds)
+        # at frame_count 1 (wgsl:813-818's frame==1 select), so the stale
+        # buffer never contributes — no realloc/zero-fill dispatch on the
+        # animated per-tick path. The TAA history does feed frame 1
+        # (alpha=0.1 blend, PostProcess.wgsl:136-167) and must clear.
+        if self.accum.shape != (self.width * self.height, 4):
+            self._alloc_buffers()
+        else:
+            self.history = jnp.zeros_like(self.history)
 
     # -- scene updates -----------------------------------------------------
 
