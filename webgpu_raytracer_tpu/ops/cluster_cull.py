@@ -24,7 +24,8 @@ import jax.numpy as jnp
 
 
 def tile_cluster_worklist_exact(rayfT, t_max, spheres, m_tile: int,
-                                chunk: int = 128, t_cap=None):
+                                chunk: int = 128, t_cap=None,
+                                with_keys: bool = True):
     """EXACT per-lane sphere-interval worklists, unioned per ray tile.
 
     Replaces the cone broad phase with the same division-free ray/sphere
@@ -51,6 +52,15 @@ def tile_cluster_worklist_exact(rayfT, t_max, spheres, m_tile: int,
     hit t here, so phase B's worklists shrink to the clusters a lane's
     REMAINING open interval can touch (a valid cull: the true closest hit
     satisfies t* <= t_cap, and any cluster containing it has entry <= t*).
+
+    `with_keys=False` (the job-stream kernel, which has no sorted early
+    exit): the pair test runs SQRT-FREE — sq >= A rewritten as
+    A <= 0 | disc >= A^2 (valid since sq >= 0), with the interval ends
+    nudged outward ~1e-6 relative so FP rounding of the squared form can
+    only ADMIT extra boundary clusters, never drop one — and worklists
+    come back survivors-first in CLUSTER-ID order (returned keys are the
+    ids as f32). This removes the per-pair sqrt/divide/max chain and one
+    (T, Ct) accumulator from the dense R x Ct loop, the cull's hot half.
 
     Same return contract as tile_cluster_worklist.
     """
@@ -87,7 +97,7 @@ def tile_cluster_worklist_exact(rayfT, t_max, spheres, m_tile: int,
     pad = nchunks * chunk - ct
     sph = jnp.pad(spheres[:, :4], ((0, pad), (0, 0)), constant_values=-1.0)
 
-    def body(c0, acc):
+    def body_keys(c0, acc):
         poss_acc, key_acc = acc
         s = jax.lax.dynamic_slice(sph, (c0 * chunk, 0), (chunk, 4))
         cx, cy, cz, r = s[:, 0:1], s[:, 1:2], s[:, 2:3], s[:, 3:4]
@@ -110,12 +120,39 @@ def tile_cluster_worklist_exact(rayfT, t_max, spheres, m_tile: int,
         key_acc = jax.lax.dynamic_update_slice(key_acc, keyt.T, (0, c0 * chunk))
         return poss_acc, key_acc
 
-    possible, key = jax.lax.fori_loop(
-        0, nchunks, body,
-        (jnp.zeros((t_big, nchunks * chunk), bool),
-         jnp.full((t_big, nchunks * chunk), 3e38, jnp.float32)))
-    possible = possible[:, :ct]
-    key = jnp.where(possible, key[:, :ct], jnp.float32(3e38))
+    def body_nokeys(c0, poss_acc):
+        s = jax.lax.dynamic_slice(sph, (c0 * chunk, 0), (chunk, 4))
+        cx, cy, cz, r = s[:, 0:1], s[:, 1:2], s[:, 2:3], s[:, 3:4]
+        ocx = o[0][None, :] - cx
+        ocy = o[1][None, :] - cy
+        ocz = o[2][None, :] - cz
+        b = d[0][None] * ocx + d[1][None] * ocy + d[2][None] * ocz
+        cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = b * b - dd[None] * cc
+        # sq >= X  <=>  X <= 0 | disc >= X^2 (sq = sqrt(max(disc,0)) >= 0);
+        # interval ends nudged ~1e-6 outward so the squared form's rounding
+        # only ever ADMITS boundary clusters.
+        a_lo = dd[None] * jnp.float32(t_min * (1.0 - 1e-6)) + b
+        b_hi = dd[None] * (t_clip[None] * (1.0 + 1e-6)) + b
+        ok = (disc >= 0.0) & (t_clip[None] > 0.0) & (r >= 0.0) \
+            & ((a_lo <= 0.0) | (disc >= a_lo * a_lo)) \
+            & ((b_hi >= 0.0) | (disc >= b_hi * b_hi))
+        okt = ok.reshape(chunk, t_big, m_tile).any(axis=2)
+        return jax.lax.dynamic_update_slice(poss_acc, okt.T, (0, c0 * chunk))
+
+    if with_keys:
+        possible, key = jax.lax.fori_loop(
+            0, nchunks, body_keys,
+            (jnp.zeros((t_big, nchunks * chunk), bool),
+             jnp.full((t_big, nchunks * chunk), 3e38, jnp.float32)))
+        possible = possible[:, :ct]
+        key = jnp.where(possible, key[:, :ct], jnp.float32(3e38))
+    else:
+        possible = jax.lax.fori_loop(
+            0, nchunks, body_nokeys,
+            jnp.zeros((t_big, nchunks * chunk), bool))[:, :ct]
+        ids = jnp.arange(ct, dtype=jnp.float32)[None, :]
+        key = jnp.where(possible, ids, jnp.float32(3e38))
 
     counts = possible.sum(axis=1).astype(jnp.int32)
     order = jnp.argsort(key, axis=1).astype(jnp.int32)

@@ -1216,8 +1216,12 @@ def _run3(wt: WorldTris, ro, rd, t_max, active, t_min: float, any_hit: bool,
 
             return tile_cluster_worklist(rayfT, t_max, sph_flat, g,
                                          sub=tune.cull_sub, t_cap=t_cap)
+        # Near-to-far keys only matter to the SEEDED mode's phase-A head;
+        # the job-stream kernel has no sorted early exit, so the default
+        # path takes the sqrt-free id-ordered cull.
         return tile_cluster_worklist_exact(rayfT, t_max, sph_flat, g,
-                                           t_cap=t_cap)
+                                           t_cap=t_cap,
+                                           with_keys=bool(tune.seed_k))
 
     order, keys, counts = cull()
 
